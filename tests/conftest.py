@@ -1,0 +1,19 @@
+"""Test configuration: force CPU with 8 virtual devices (for sharding tests)
+and enable x64 (the solvers' timelike precision contract expects f64 when
+available, mirroring the reference's float64 time dtype).
+
+Note: this container's sitecustomize force-registers the `axon` TPU backend
+and overrides JAX_PLATFORMS, so the platform must be pinned via
+`jax.config.update` after import.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,296 @@
+"""O(1)-memory continuous adjoint as a `custom_vjp`.
+
+Rebuild of `OdeintAdjointMethod` (reference torchdiffeq/_impl/adjoint.py).
+Differences forced (and enabled) by JAX/TPU:
+
+* Parameters are discovered with `jax.closure_convert` instead of scraping
+  `nn.Module.parameters()` (reference adjoint.py:226-240): any array closed
+  over by `func` (or passed via `args`) becomes an explicit differentiable
+  input of the custom_vjp and receives exact adjoint gradients.
+* The per-interval backward loop (reference adjoint.py:124-141) is a
+  `lax.scan`; each interval re-solves the augmented ODE
+  ``(vjp_t, y, vjp_y, vjp_params)`` with the adjoint method/tolerances.
+* The augmented vector field evaluates one primal VF call + one VJP via
+  `jax.vjp` (reference adjoint.py:72-105 uses autograd.grad).
+* Adjoint norms: default is ``max(|t|, ||y||, ||adj_y||, mixed(adj_params))``
+  and ``'seminorm'`` drops the parameter term, exactly as in
+  `handle_adjoint_norm_` (reference adjoint.py:243-288).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from .misc import (check_inputs, flat_to_tree, rms_norm, mixed_norm,
+                   time_sign, _is_single_array)
+from .solvers import SOLVERS
+from .odeint import _solve_normalised, _solve_event_normalised
+
+
+def _raw_odeint(func, y0, t, rtol, atol, method, options, time_direction):
+    """Non-differentiable solve used inside the backward pass."""
+    prob = check_inputs(func, y0, t, rtol, atol, method, options, None,
+                        SOLVERS, time_direction=time_direction)
+    ys_flat, stats = _solve_normalised(prob)
+    return flat_to_tree(prob.unravel, ys_flat), stats
+
+
+def _make_adjoint_norm(adjoint_options, user_state_norm, single_array_state,
+                       unravel_y0):
+    """Choose/wrap the norm for the augmented backward solve (reference
+    `handle_adjoint_norm_`, adjoint.py:243-288).  The augmented state tree is
+    ``(vjp_t, y_flat, adj_y_flat, theta_bar)``."""
+    if user_state_norm is None:
+        if single_array_state:
+            state_norm = rms_norm
+        else:
+            state_norm = lambda x: mixed_norm(unravel_y0(x))
+    else:
+        state_norm = lambda x: user_state_norm(unravel_y0(x))
+
+    def default_adjoint_norm(aug):
+        vt, y, adj_y, th_bar = aug
+        out = jnp.abs(vt)
+        out = jnp.maximum(out, state_norm(y))
+        out = jnp.maximum(out, state_norm(adj_y))
+        out = jnp.maximum(out, mixed_norm(th_bar))
+        return out
+
+    def adjoint_seminorm(aug):
+        vt, y, adj_y, th_bar = aug
+        out = jnp.abs(vt)
+        out = jnp.maximum(out, state_norm(y))
+        out = jnp.maximum(out, state_norm(adj_y))
+        return out
+
+    norm_spec = adjoint_options.get('norm')
+    if norm_spec is None:
+        return default_adjoint_norm
+    if norm_spec == 'seminorm':
+        return adjoint_seminorm
+
+    # User-supplied adjoint norm: it sees (t, y, adj_y, *adj_params) with
+    # y/adj_y in the user's state structure (splatted per-leaf for container
+    # states, reference adjoint.py:273-288).
+    user_adjoint_norm = norm_spec
+
+    def wrapped(aug):
+        vt, y, adj_y, th_bar = aug
+        params = tuple(jax.tree_util.tree_leaves(th_bar))
+        if single_array_state:
+            return user_adjoint_norm((vt, unravel_y0(y), unravel_y0(adj_y)) + params)
+        y_leaves = tuple(jax.tree_util.tree_leaves(unravel_y0(y)))
+        adj_leaves = tuple(jax.tree_util.tree_leaves(unravel_y0(adj_y)))
+        return user_adjoint_norm((vt,) + y_leaves + adj_leaves + params)
+
+    return wrapped
+
+
+def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
+                  adjoint_rtol, adjoint_atol, adjoint_method, adjoint_options):
+    """Solve with continuous-adjoint gradients.
+
+    Returns (ys_tree, stats) or ((event_t, ys_tree), stats) in the *user*
+    time frame.  Gradients flow to y0, t, `args`, and arrays closed over by
+    `func`.
+    """
+    t = jnp.asarray(t)
+    T = t.shape[0]
+    args = tuple(args)
+    single_array_state = _is_single_array(y0)
+
+    adjoint_options = {} if adjoint_options is None else dict(adjoint_options)
+
+    # --- make parameters explicit -----------------------------------------
+    conv, consts = jax.closure_convert(
+        lambda tt, yy, aa: func(tt, yy, *aa), t[0], y0, args)
+    consts = tuple(consts)
+
+    if event_fn is not None:
+        ev_conv, ev_consts = jax.closure_convert(
+            lambda tt, yy: event_fn(tt, yy), t[0], y0)
+        ev_consts = tuple(ev_consts)
+    else:
+        ev_conv, ev_consts = None, ()
+
+    theta = (args, consts, ev_consts)
+
+    def pure_func(tt, yy, th):
+        return conv(tt, yy, th[0], *th[1])
+
+    user_state_norm = (options or {}).get('norm')
+
+    # ======================================================================
+    # The custom_vjp op (flat outputs; unravelled by the caller).
+    # ======================================================================
+
+    def _normalise(y0_, t_, theta_):
+        ev = None
+        if ev_conv is not None:
+            ev = lambda tt, yy: ev_conv(tt, yy, *theta_[2])
+        return check_inputs(pure_func, y0_, t_, rtol, atol, method, options,
+                            ev, SOLVERS, args=(theta_,))
+
+    def _backward_pass(y0_saved, t_int, ys_flat, g_ys, theta_, sign):
+        """The interval-by-interval adjoint sweep (reference
+        adjoint.py:124-141) over internal-frame times `t_int` (increasing;
+        `sign` converts between the internal and user time frames).
+        Returns (adj_y, theta_bar, vt_final, dLds)."""
+        y0_flat, unravel_y0 = ravel_pytree(y0_saved)
+        y_dtype = y0_flat.dtype
+
+        def f_int(tt, yy, th):
+            tt = jnp.asarray(tt).astype(y_dtype)
+            f_tree = pure_func(tt, unravel_y0(yy), th)
+            ff, _ = ravel_pytree(f_tree)
+            return ff
+
+        sign_y = jnp.asarray(sign).astype(y_dtype)
+        f_dir = lambda tt, yy, th: sign_y * f_int(sign_y * tt, yy, th)
+
+        def aug_dyn(s, aug):
+            vt, y, adj_y, th_bar = aug
+            f, vjp_fn = jax.vjp(lambda ss, yy, th: f_dir(ss, yy, th),
+                                s, y, theta_)
+            vt_new, vy, vth = vjp_fn(-adj_y)
+            return (vt_new.astype(vt.dtype), f, vy, vth)
+
+        adj_opts = dict(adjoint_options)
+        adj_opts['norm'] = _make_adjoint_norm(
+            adjoint_options, user_state_norm, single_array_state, unravel_y0)
+
+        th_bar0 = jax.tree_util.tree_map(jnp.zeros_like, theta_)
+        aug0 = (jnp.zeros((), dtype=y_dtype), ys_flat[-1], g_ys[-1], th_bar0)
+
+        inputs = (t_int[1:][::-1], t_int[:-1][::-1],
+                  ys_flat[1:][::-1], ys_flat[:-1][::-1],
+                  g_ys[1:][::-1], g_ys[:-1][::-1])
+
+        def scan_body(aug, inp):
+            t_i, t_im1, y_i, y_im1, g_i, g_im1 = inp
+            vt, y, adj_y, th_bar = aug
+            # Effect of moving the measurement time t_i (adjoint.py:128-131).
+            f_eval = f_dir(t_i, y_i, theta_)
+            dLd = jnp.dot(jnp.ravel(f_eval), jnp.ravel(g_i))
+            vt = vt - dLd.astype(vt.dtype)
+            sol, _ = _raw_odeint(aug_dyn, (vt, y, adj_y, th_bar),
+                                 jnp.stack([t_i, t_im1]),
+                                 adjoint_rtol, adjoint_atol, adjoint_method,
+                                 adj_opts, 'reverse')
+            vt, y, adj_y, th_bar = jax.tree_util.tree_map(lambda a: a[1], sol)
+            y = y_im1                    # reset to forward-pass estimate
+            adj_y = adj_y + g_im1        # add gradient at this time point
+            return (vt, y, adj_y, th_bar), dLd
+
+        (vt, _, adj_y, th_bar), dLds = jax.lax.scan(scan_body, aug0, inputs)
+        return adj_y, th_bar, vt, dLds
+
+    if event_fn is None:
+
+        @jax.custom_vjp
+        def op(y0_, t_, theta_):
+            prob = _normalise(y0_, t_, theta_)
+            return _solve_normalised(prob)
+
+        def op_fwd(y0_, t_, theta_):
+            prob = _normalise(y0_, t_, theta_)
+            ys_flat, stats = _solve_normalised(prob)
+            return (ys_flat, stats), (y0_, t_, theta_, ys_flat)
+
+        def op_bwd(res, ct):
+            y0_, t_, theta_, ys_flat = res
+            g_ys = ct[0]
+            sign = time_sign(t_)
+            t_int = sign * t_
+            adj_y, th_bar, vt, dLds = _backward_pass(y0_, t_int, ys_flat,
+                                                     g_ys, theta_, sign)
+            time_vjps = jnp.concatenate(
+                [vt[None].astype(t_.dtype), dLds[::-1].astype(t_.dtype)])
+            g_t = sign * time_vjps
+            _, unravel_y0 = ravel_pytree(y0_)
+            return unravel_y0(adj_y), g_t, th_bar
+
+        op.defvjp(op_fwd, op_bwd)
+
+        ys_flat, stats = op(y0, t, theta)
+        _, unravel_y0 = ravel_pytree(y0)
+        return flat_to_tree(unravel_y0, ys_flat), stats
+
+    else:
+
+        @jax.custom_vjp
+        def op_ev(y0_, t_, theta_):
+            prob = _normalise(y0_, t_, theta_)
+            return _solve_event_normalised(prob)
+
+        def op_fwd(y0_, t_, theta_):
+            prob = _normalise(y0_, t_, theta_)
+            event_t, ys2, stats = _solve_event_normalised(prob)
+            return (event_t, ys2, stats), (y0_, t_, theta_, event_t, ys2)
+
+        def op_bwd(res, ct):
+            y0_, t_, theta_, event_t, ys2 = res
+            # Backprop as if integrating up to the event time; does NOT
+            # backprop through the event time itself (adjoint.py:45-52) —
+            # that gradient comes from the IFT layer in odeint_event.
+            _g_event_t, g_ys2, _g_stats = ct
+            sign = time_sign(t_)
+            t_eff = jnp.stack([(sign * t_)[0], event_t])
+            adj_y, th_bar, vt, _ = _backward_pass(y0_, t_eff, ys2, g_ys2,
+                                                  theta_, sign)
+            g_t = sign * jnp.concatenate(
+                [vt[None].astype(t_.dtype),
+                 jnp.zeros((t_.shape[0] - 1,), dtype=t_.dtype)])
+            _, unravel_y0 = ravel_pytree(y0_)
+            return unravel_y0(adj_y), g_t, th_bar
+
+        op_ev.defvjp(op_fwd, op_bwd)
+
+        event_t, ys2_flat, stats = op_ev(y0, t, theta)
+        _, unravel_y0 = ravel_pytree(y0)
+        ys_tree = flat_to_tree(unravel_y0, ys2_flat)
+        event_t = time_sign(t) * event_t
+        return (event_t, ys_tree), stats
+
+
+def odeint_adjoint(func, y0, t, *, rtol=1e-7, atol=1e-9, method=None,
+                   options=None, event_fn=None, adjoint_rtol=None,
+                   adjoint_atol=None, adjoint_method=None,
+                   adjoint_options=None, adjoint_params=None, args=()):
+    """`odeint` with gradients via the continuous adjoint method
+    (reference torchdiffeq/_impl/adjoint.py:156-223).
+
+    `adjoint_params` is accepted for API compatibility but unnecessary in
+    JAX: closed-over arrays are discovered with `jax.closure_convert` and
+    automatically receive adjoint gradients.
+    """
+    del adjoint_params  # see docstring
+
+    if adjoint_rtol is None:
+        adjoint_rtol = rtol
+    if adjoint_atol is None:
+        adjoint_atol = atol
+    if adjoint_method is None:
+        adjoint_method = method
+
+    if adjoint_method != method and options is not None and adjoint_options is None:
+        raise ValueError(
+            "If `adjoint_method != method` then we cannot infer "
+            "`adjoint_options` from `options`. So as `options` has been "
+            "passed then `adjoint_options` must be passed as well.")
+
+    if adjoint_options is None:
+        adjoint_options = ({k: v for k, v in options.items() if k != "norm"}
+                           if options is not None else {})
+    else:
+        adjoint_options = dict(adjoint_options)
+
+    result, _ = adjoint_solve(
+        func, y0, t, rtol=rtol, atol=atol, method=method, options=options,
+        event_fn=event_fn, args=args, adjoint_rtol=adjoint_rtol,
+        adjoint_atol=adjoint_atol, adjoint_method=adjoint_method,
+        adjoint_options=adjoint_options)
+    return result

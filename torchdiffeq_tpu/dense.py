@@ -1,0 +1,126 @@
+"""`odeint_dense`: continuous dense-output solution.
+
+Rebuild of torchdiffeq/_impl/odeint.py:111-157: run the dopri5 adaptive loop
+over [t0, t1], record the accepted-step times and quartic interpolation
+coefficients, and return a callable evaluating the solution anywhere in the
+interval via `searchsorted`.
+
+TPU twist: the number of accepted steps is data-dependent, so the recording
+buffers have a static capacity `max_segments` (a solve exceeding it reports
+`ERR_MAX_NUM_STEPS` in its stats and the interpolant covers the integrated
+prefix).  Unlike the reference (tensor-only, odeint.py:113) pytree state is
+supported.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .misc import check_inputs
+from .ops.interp import interp_evaluate
+from .solvers import SOLVERS
+from .solvers import adaptive_rk
+from .solvers.solution import OK, ERR_MAX_NUM_STEPS
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseSolution:
+    """Callable dense solution: `sol(t)` for scalar or batched `t`."""
+
+    def __init__(self, times, coeffs, count, t_lo, t_hi, unravel,
+                 t_sign, error_code):
+        self.times = times      # (M + 1,) accepted-step boundary times
+        self.coeffs = coeffs    # (M, 5, n)
+        self.count = count      # number of valid segments
+        self.t_lo = t_lo
+        self.t_hi = t_hi
+        self.unravel = unravel
+        self.t_sign = t_sign    # internal time = t_sign * user time
+        self.error_code = error_code
+
+    def tree_flatten(self):
+        children = (self.times, self.coeffs, self.count, self.t_lo, self.t_hi,
+                    self.t_sign, self.error_code)
+        return children, (self.unravel,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (unravel,) = aux
+        times, coeffs, count, t_lo, t_hi, t_sign, error_code = children
+        return cls(times, coeffs, count, t_lo, t_hi, unravel, t_sign,
+                   error_code)
+
+    def _eval_scalar(self, t_eval):
+        tt = self.t_sign * t_eval
+        tt = jnp.clip(tt, self.t_lo, self.t_hi)
+        idx = jnp.clip(jnp.searchsorted(self.times, tt, side="right"),
+                       1, jnp.maximum(self.count, 1))
+        t0 = self.times[idx - 1]
+        t1 = self.times[idx]
+        y = interp_evaluate(self.coeffs[idx - 1], t0, t1, tt)
+        return self.unravel(y)
+
+    def __call__(self, t_eval):
+        t_eval = jnp.asarray(t_eval)
+        if t_eval.ndim == 0:
+            return self._eval_scalar(t_eval)
+        return jax.vmap(self._eval_scalar)(t_eval)
+
+
+def odeint_dense(func, y0, t0, t1, *, rtol=1e-7, atol=1e-9, method=None,
+                 options=None, args=(), max_segments=4096):
+    """Integrate over [t0, t1] and return a `DenseSolution` callable."""
+    from .odeint import _adaptive_config
+
+    t0 = jnp.asarray(t0).reshape(())
+    t1 = jnp.asarray(t1).reshape(())
+    t = jnp.stack([t0, t1])
+
+    prob = check_inputs(func, y0, t, rtol, atol, method, options, None,
+                        SOLVERS, args=args)
+    if prob.method != "dopri5":
+        raise ValueError("odeint_dense currently requires method='dopri5' "
+                         "(as in the reference, odeint.py:119)")
+    spec = SOLVERS[prob.method]
+    cfg = _adaptive_config(prob, spec["tableau"])
+
+    ts = prob.t
+    n = prob.y0.shape[0]
+    t_end = ts[1]
+
+    f0, dt0, _nfe0 = adaptive_rk._setup(prob.func, prob.y0, ts[0], cfg,
+                                        ts.dtype)
+
+    times = jnp.full((max_segments + 1,), jnp.inf, dtype=ts.dtype).at[0].set(ts[0])
+    coeffs = jnp.zeros((max_segments, 5, n), dtype=prob.y0.dtype)
+
+    zeros_coeff = jnp.zeros((5, n), dtype=prob.y0.dtype).at[0].set(prob.y0)
+    carry0 = adaptive_rk._Carry(
+        y1=prob.y0, f1=f0, t0=ts[0], t1=ts[0], dt=dt0, coeff=zeros_coeff,
+        i_out=jnp.int32(0), out=jnp.zeros((1, n), dtype=prob.y0.dtype),
+        step_idx=jnp.int32(0), jump_idx=jnp.int32(0),
+        nfe=jnp.int32(2), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
+        n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
+        err=jnp.int32(OK))
+
+    def cond(state):
+        c, times, coeffs = state
+        return (c.t1 < t_end) & (c.err == OK) & (c.n_acc < max_segments)
+
+    def body(state):
+        c, times, coeffs = state
+        c2 = adaptive_rk._adaptive_step(c, prob.func, cfg, None, None,
+                                        ts.dtype)
+        accepted = c2.t1 != c.t1
+        seg = c2.n_acc - 1
+        times = jnp.where(accepted, times.at[c2.n_acc].set(c2.t1), times)
+        coeffs = jnp.where(accepted, coeffs.at[seg].set(c2.coeff), coeffs)
+        return (c2, times, coeffs)
+
+    carry, times, coeffs = jax.lax.while_loop(cond, body,
+                                              (carry0, times, coeffs))
+    err = jnp.where((carry.t1 < t_end) & (carry.err == OK),
+                    ERR_MAX_NUM_STEPS, carry.err)
+
+    return DenseSolution(times, coeffs, carry.n_acc, ts[0], carry.t1,
+                         prob.unravel, prob.t_sign, err)

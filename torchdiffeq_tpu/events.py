@@ -1,0 +1,157 @@
+"""Event handling: root finding on the dense interpolant, multi-output event
+combination, and the differentiable `odeint_event` wrapper with
+implicit-function-theorem gradients for the event time.
+
+Reference: torchdiffeq/_impl/event_handling.py and
+torchdiffeq/_impl/odeint.py:160-231.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def find_event(interp_fn, sign0, t0, t1, event_fn, tol):
+    """Bisect for the sign change of `event_fn` on [t0, t1].
+
+    Mirrors the reference bisection (event_handling.py:5-20):
+    ``ceil(log2((t1 - t0) / tol))`` iterations localise the event time to
+    within `tol`.  The iteration count is data-dependent, so it runs as a
+    `fori_loop` with a traced trip count (lowered to a while_loop — fine,
+    since this search is not differentiated; the reference wraps it in
+    `no_grad` too).  The final interpolant evaluation IS differentiable,
+    exactly as in the reference.
+    """
+    tol = jnp.asarray(tol, dtype=jnp.asarray(t0).dtype)
+    span = jax.lax.stop_gradient(t1 - t0)
+    nitrs = jnp.ceil(jnp.log2(jnp.maximum(span / tol, 1.0))).astype(jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        t_mid = (lo + hi) / 2.0
+        y_mid = interp_fn(t_mid)
+        sign_mid = jnp.sign(event_fn(t_mid, y_mid))
+        same = sign0 == sign_mid
+        return (jnp.where(same, t_mid, lo), jnp.where(same, hi, t_mid))
+
+    lo0 = jax.lax.stop_gradient(t0)
+    hi0 = jax.lax.stop_gradient(t1)
+    lo, hi = jax.lax.fori_loop(0, nitrs, body, (lo0, hi0))
+    event_t = (lo + hi) / 2.0
+    return event_t, interp_fn(event_t)
+
+
+def combine_event_functions(event_fn, t0, y0):
+    """Normalise a (possibly multi-output) event function so that it is
+    initially positive, and combine outputs with `min` (reference
+    event_handling.py:23-35)."""
+    initial_signs = jax.lax.stop_gradient(jnp.sign(event_fn(t0, y0)))
+
+    def combined_event_fn(t, y):
+        c = event_fn(t, y)
+        return jnp.min(c * initial_signs)
+
+    return combined_event_fn
+
+
+def _implicit_fn_gradient_rerouting(func, event_fn):
+    """Build the IFT gradient-rerouting op (reference
+    `ImplicitFnGradientRerouting`, odeint.py:197-231).
+
+    Forward is the identity on (event_t, state_t) with gradients detached;
+    backward reroutes the upstream event-time gradient into the state via
+
+        dc/dt = dc/dt|_partial + <dc/dy, f(t*, y*)>
+        grad_state += dc/dy * (-grad_t_total / (dc/dt + 1e-12))
+
+    so that d(event_t)/d(theta) flows through state_t's dependence on theta.
+    """
+
+    @jax.custom_vjp
+    def reroute(event_t, state_t):
+        return event_t, state_t
+
+    def fwd(event_t, state_t):
+        return ((jax.lax.stop_gradient(event_t), jax.lax.stop_gradient(state_t)),
+                (event_t, state_t))
+
+    def bwd(res, grads):
+        event_t, state_t = res
+        grad_t, grad_state = grads
+        event_t = jax.lax.stop_gradient(event_t)
+        state_t = jax.lax.stop_gradient(state_t)
+
+        f_val = func(event_t, state_t)
+
+        c, vjp_fn = jax.vjp(event_fn, event_t, state_t)
+        par_dt, dstate = vjp_fn(jnp.ones_like(c))
+
+        # Total derivative of event_fn wrt t at the event.
+        dcdt = par_dt + jnp.sum(dstate * f_val)
+
+        # Gradient from the final state to the final time, as if a regular
+        # odeint had been called.
+        grad_t_total = grad_t + jnp.sum(grad_state * f_val)
+
+        dstate = dstate * (-grad_t_total / (dcdt + 1e-12))
+        grad_state = grad_state + dstate
+
+        # The event time input receives no direct gradient (reference returns
+        # None for it); its sensitivity has been rerouted into the state.
+        return jnp.zeros_like(event_t), grad_state
+
+    reroute.defvjp(fwd, bwd)
+    return reroute
+
+
+def odeint_event(func, y0, t0, *, event_fn, reverse_time=False,
+                 odeint_interface=None, args=(), **kwargs):
+    """Solve until `event_fn(t, y) == 0` with differentiable event time
+    (reference odeint.py:160-194).
+
+    Returns (event_t, solution) where solution stacks [y(t0), y(event_t)]
+    along a new leading axis in the user's state structure.
+    """
+    from .odeint import odeint
+    from .misc import check_inputs, flat_to_tree
+    from .solvers import SOLVERS
+    from jax.flatten_util import ravel_pytree
+
+    if odeint_interface is None:
+        odeint_interface = odeint
+
+    t0 = jnp.asarray(t0).reshape(())
+    if reverse_time:
+        t = jnp.stack([t0, jax.lax.stop_gradient(t0) - 1.0])
+    else:
+        t = jnp.stack([t0, jax.lax.stop_gradient(t0) + 1.0])
+
+    event_t, solution = odeint_interface(func, y0, t, event_fn=event_fn,
+                                         args=args, **kwargs)
+
+    # Flatten for the IFT computation, mirroring the reference's re-run of
+    # _check_inputs (odeint.py:171).
+    prob = check_inputs(func, y0, t, 0.0, 0.0, None, None, event_fn, SOLVERS,
+                        args=args)
+
+    state_t, _ = ravel_pytree(jax.tree_util.tree_map(lambda s: s[-1], solution))
+
+    # event_fn sees negated time values if reverse_time is True.
+    if reverse_time:
+        event_t = -event_t
+
+    reroute = _implicit_fn_gradient_rerouting(
+        lambda tt, yy: prob.func(tt, yy), prob.event_fn)
+    event_t, state_t = reroute(event_t, state_t)
+
+    # Return the user-expected time value.
+    if reverse_time:
+        event_t = -event_t
+
+    # Splice the differentiable final state back into the solution.
+    state_tree = prob.unravel(state_t)
+    solution = jax.tree_util.tree_map(
+        lambda s, s_t: jnp.concatenate([s[:-1], s_t[None]], axis=0),
+        solution, state_tree)
+
+    return event_t, solution

@@ -1,0 +1,297 @@
+"""Shared plumbing: pytree ravelling, time handling, perturbation, input checks.
+
+TPU-native re-design of the input-normalisation layer of torchdiffeq
+(reference: torchdiffeq/_impl/misc.py).  Key differences from the reference:
+
+* State is an arbitrary JAX pytree (the reference supports tensors and tuples
+  of tensors).  Internally every solver operates on a single flat ``(n,)``
+  vector obtained with ``ravel_pytree``; the user's structure is restored at
+  the API boundary (reference: ``_flat_to_shape`` / ``_TupleFunc``,
+  misc.py:126-155).
+* Instead of Python-level asserts (which cannot be data-dependent under
+  ``jit``) numerical guards are carried as error codes in the solver state.
+* Time ("timelike") values are kept in ``float64`` when jax x64 is enabled,
+  otherwise ``float32`` (the reference always promotes time to float64,
+  rk_common.py:180-182; on TPU f64 must be explicitly enabled).
+"""
+from __future__ import annotations
+
+import enum
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+
+
+class Perturb(enum.Enum):
+    """Direction to perturb the evaluation time of the vector field.
+
+    Mirrors the semantics of the reference ``Perturb`` enum (misc.py:168-171):
+    ``NEXT``/``PREV`` move ``t`` to the next/previous representable float so
+    that vector fields with jump discontinuities are evaluated on the correct
+    side of the discontinuity.
+    """
+    NONE = 0
+    PREV = 1
+    NEXT = 2
+
+
+@jax.custom_jvp
+def _nextafter(x1, x2):
+    return jnp.nextafter(x1, x2)
+
+
+@_nextafter.defjvp
+def _nextafter_jvp(primals, tangents):
+    # Gradient-stitching: d(nextafter(x1, x2))/dx1 == 1 (reference
+    # ``_StitchGradient``, misc.py:348-357).
+    x1, x2 = primals
+    dx1, _ = tangents
+    return _nextafter(x1, x2), dx1
+
+
+def nextafter_up(t):
+    return _nextafter(t, t + 1)
+
+
+def nextafter_down(t):
+    return _nextafter(t, t - 1)
+
+
+def time_dtype_like(default=None):
+    """The dtype used for 'timelike' quantities (t, dt, tolerances)."""
+    if default is not None:
+        return jnp.dtype(default)
+    return jnp.dtype(jnp.float64) if jax.config.jax_enable_x64 else jnp.dtype(jnp.float32)
+
+
+class FlatProblem(NamedTuple):
+    """A normalised ODE problem on flat state."""
+    func: Callable        # func(t, y_flat, perturb=Perturb.NONE) -> f_flat
+    y0: jnp.ndarray       # (n,) flat initial state
+    unravel: Callable     # flat (n,) -> user pytree
+    rtol: Any             # scalar or (n,) flat vector
+    atol: Any             # scalar or (n,) flat vector
+    norm: Callable        # norm(flat (n,)) -> scalar
+    n_leaves: int         # number of leaves in the user state pytree
+
+
+def rms_norm(x):
+    """RMS norm over all elements (reference ``_rms_norm``, misc.py:22-23)."""
+    x = jnp.asarray(x)
+    return jnp.sqrt(jnp.mean(jnp.abs(x) ** 2))
+
+
+def linf_norm(x):
+    return jnp.max(jnp.abs(jnp.asarray(x)))
+
+
+def zero_norm(x):
+    return jnp.zeros((), dtype=jnp.result_type(float))
+
+
+def mixed_norm(tree):
+    """Max over per-leaf RMS norms (reference ``_mixed_norm``, misc.py:30-33)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if len(leaves) == 0:
+        return jnp.zeros((), dtype=jnp.result_type(float))
+    return jnp.max(jnp.stack([rms_norm(leaf) for leaf in leaves]))
+
+
+def _tree_tol(name, tol, y0_tree, flat_template):
+    """Broadcast a (possibly per-leaf) tolerance to the flat state layout.
+
+    Mirrors ``_tuple_tol`` (reference misc.py:115-123): a scalar stays a
+    scalar; a sequence must have one entry per state leaf and is expanded to a
+    flat ``(n,)`` vector.
+    """
+    if np.isscalar(tol) or (isinstance(tol, (jnp.ndarray, np.ndarray)) and np.ndim(tol) == 0):
+        return tol
+    leaves = jax.tree_util.tree_leaves(y0_tree)
+    tol = list(tol)
+    if len(tol) != len(leaves):
+        raise ValueError(
+            f"If using per-leaf {name} it must have the same length as the state "
+            f"pytree leaves ({len(leaves)}), got {len(tol)}.")
+    parts = [jnp.full((leaf.size,), t, dtype=flat_template.dtype)
+             for t, leaf in zip(tol, leaves)]
+    return jnp.concatenate(parts)
+
+
+def _is_single_array(y0):
+    return isinstance(y0, (jnp.ndarray, np.ndarray)) or np.isscalar(y0)
+
+
+class NormalisedProblem(NamedTuple):
+    func: Callable            # flat perturb-aware vector field
+    y0: jnp.ndarray           # (n,) flat
+    t: jnp.ndarray            # (T,) increasing, time dtype
+    rtol: Any
+    atol: Any
+    method: str
+    options: dict
+    event_fn: Any             # flat event fn or None
+    t_sign: Any               # +1/-1 scalar: t_internal = t_sign * t_user
+    unravel: Callable
+    norm: Callable            # norm on flat vectors
+    single_array_state: bool  # user state was a plain array (not a container)
+    state_shape: Any          # shape of user state if single array
+
+
+def check_inputs(func, y0, t, rtol, atol, method, options, event_fn, solvers,
+                 args=(), time_direction='auto'):
+    """Normalise user inputs to flat-state form.
+
+    The JAX analogue of ``_check_inputs`` (reference misc.py:200-345):
+    flattens pytree state, broadcasts tolerances, handles reversed time by
+    negation, selects the default norm, and wraps the vector field with
+    perturbation support.
+    """
+    from .events import combine_event_functions  # local import to avoid cycle
+
+    if event_fn is not None:
+        t = jnp.asarray(t)
+        if t.shape[0] != 2:
+            raise ValueError(
+                f"We require len(t) == 2 when in event handling mode, but got len(t)={t.shape[0]}.")
+
+    # --- flatten state ---------------------------------------------------
+    single_array = _is_single_array(y0)
+    y0_tree = y0
+    y0_flat, unravel = ravel_pytree(y0)
+    if not jnp.issubdtype(y0_flat.dtype, jnp.floating) and not jnp.issubdtype(y0_flat.dtype, jnp.complexfloating):
+        raise TypeError(f"y0 must be floating point, got {y0_flat.dtype}")
+    state_shape = jnp.shape(y0) if single_array else None
+    n_leaves = len(jax.tree_util.tree_leaves(y0_tree))
+
+    rtol = _tree_tol('rtol', rtol, y0_tree, y0_flat)
+    atol = _tree_tol('atol', atol, y0_tree, y0_flat)
+
+    if args:
+        base_func = lambda tt, yy: func(tt, yy, *args)
+    else:
+        base_func = func
+
+    def flat_func(tt, y_flat):
+        f = base_func(tt, unravel(y_flat))
+        f_flat, _ = ravel_pytree(f)
+        return f_flat
+
+    flat_event_fn = None
+    if event_fn is not None:
+        def flat_event_fn_(tt, y_flat):
+            return event_fn(tt, unravel(y_flat))
+        flat_event_fn = flat_event_fn_
+
+    # --- method / options -------------------------------------------------
+    options = {} if options is None else dict(options)
+    if method is None:
+        method = 'dopri5'
+    if method not in solvers:
+        raise ValueError('Invalid method "{}". Must be one of {}'.format(
+            method, '{"' + '", "'.join(solvers.keys()) + '"}.'))
+
+    # --- norm -------------------------------------------------------------
+    user_norm = options.pop('norm', None)
+    if user_norm is None:
+        if single_array:
+            def norm(x_flat):
+                return rms_norm(x_flat)
+        else:
+            def norm(x_flat):
+                return mixed_norm(unravel(x_flat))
+    else:
+        # The user's norm sees the state in its own structure
+        # (reference misc.py:236-259).
+        def norm(x_flat):
+            return user_norm(unravel(x_flat))
+
+    # --- time handling ----------------------------------------------------
+    # TPU-native redesign of the reference's time reversal (misc.py:270-296):
+    # instead of a trace-time branch that negates everything, integration
+    # always runs over `t_sign * t` with the vector field conjugated by the
+    # sign.  For forward time t_sign == 1 and XLA folds the multiplies away;
+    # for reversed time this is exactly the reference's negation — but it
+    # also works when `t` is traced (e.g. closed over under `jit`), where
+    # the direction cannot be known statically.
+    t = jnp.asarray(t)
+    if t.ndim != 1:
+        raise ValueError("t must be one dimensional")
+    tdt = time_dtype_like(options.get('dtype'))
+    t = t.astype(tdt)
+
+    if time_direction == 'forward':
+        t_sign = jnp.ones((), dtype=tdt)
+    elif time_direction == 'reverse':
+        t_sign = -jnp.ones((), dtype=tdt)
+    elif t.shape[0] < 2:
+        t_sign = jnp.ones((), dtype=tdt)
+    else:
+        t_sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(tdt)
+
+    t = t_sign * t
+    _base_flat_func = flat_func
+    flat_func = lambda tt, y_flat: t_sign * _base_flat_func(t_sign * tt, y_flat)
+    if flat_event_fn is not None:
+        _base_event = flat_event_fn
+        flat_event_fn = lambda tt, y_flat: _base_event(t_sign * tt, y_flat)
+    grid_constructor = options.get('grid_constructor')
+    if grid_constructor is not None:
+        options['grid_constructor'] = \
+            lambda f, y0_, t_: t_sign * grid_constructor(f, y0_, t_sign * t_)
+    for name in ('step_t', 'jump_t'):
+        if options.get(name) is not None:
+            options[name] = t_sign * jnp.asarray(options[name])
+
+    if event_fn is not None:
+        flat_event_fn = combine_event_functions(flat_event_fn, t[0], y0_flat)
+
+    # --- perturbation wrapper --------------------------------------------
+    wrapped = PerturbedFunc(flat_func)
+
+    return NormalisedProblem(
+        func=wrapped, y0=y0_flat, t=t, rtol=rtol, atol=atol, method=method,
+        options=options, event_fn=flat_event_fn, t_sign=t_sign,
+        unravel=unravel, norm=norm, single_array_state=single_array,
+        state_shape=state_shape)
+
+
+def time_sign(t):
+    """Runtime integration-direction sign for a (possibly traced) time array:
+    +1 for increasing, -1 for decreasing."""
+    t = jnp.asarray(t)
+    if t.shape[0] < 2:
+        return jnp.ones((), dtype=t.dtype)
+    return jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(t.dtype)
+
+
+class PerturbedFunc:
+    """Wraps a flat vector field with `perturb` keyword support.
+
+    Mirrors ``_PerturbFunc`` (reference misc.py:174-197): the evaluation time
+    is cast to the state dtype and optionally nudged by one ULP.
+    """
+
+    def __init__(self, base_func):
+        self.base_func = base_func
+
+    def __call__(self, t, y, perturb=Perturb.NONE):
+        assert isinstance(perturb, Perturb), "perturb argument must be of type Perturb enum"
+        t = jnp.asarray(t)
+        if jnp.issubdtype(t.dtype, jnp.complexfloating):
+            t = t.real
+        t = t.astype(jnp.asarray(y).dtype)
+        if perturb is Perturb.NEXT:
+            t = nextafter_up(t)
+        elif perturb is Perturb.PREV:
+            t = nextafter_down(t)
+        return self.base_func(t, y)
+
+
+def flat_to_tree(unravel, ys_flat):
+    """Map a stacked flat solution (T, n) back to the user pytree with a
+    leading time axis on every leaf (reference ``_flat_to_shape``,
+    misc.py:126-134)."""
+    return jax.vmap(unravel)(ys_flat)

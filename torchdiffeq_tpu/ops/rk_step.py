@@ -1,0 +1,134 @@
+"""Generic explicit Runge-Kutta step kernels on flat state.
+
+TPU-native design: the stage recursion is unrolled at trace time (stage count
+is static per tableau), every stage combination is a small weighted vector sum
+that XLA fuses into the surrounding vector-field computation, and all stage
+slopes are returned stacked as a ``(s, n)`` array for the dense-output fit.
+
+Behavioral contract mirrors ``_runge_kutta_step`` (reference
+torchdiffeq/_impl/rk_common.py:43-90): FSAL shortcut, `Perturb.PREV` at
+stages with alpha == 1, and timelike values cast to the state dtype inside
+the kernel.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..misc import Perturb
+from .tableaus import ButcherTableau
+
+
+def weighted_sum(coeffs, vecs, dt=None):
+    """sum_i coeffs[i] * vecs[i] (skipping statically-zero coefficients),
+    optionally scaled by `dt`.  `coeffs` is a host numpy vector."""
+    total = None
+    for c, v in zip(coeffs, vecs):
+        if c == 0.0:
+            continue
+        term = c * v
+        total = term if total is None else total + term
+    if total is None:
+        total = jnp.zeros_like(vecs[0])
+    if dt is not None:
+        total = dt * total
+    return total
+
+
+def runge_kutta_step(func, y0, f0, t0, dt, t1, tableau: ButcherTableau):
+    """Take one explicit RK step and estimate the local error.
+
+    Args:
+        func: perturb-aware flat vector field ``func(t, y, perturb=...)``.
+        y0: (n,) state at t0.
+        f0: (n,) derivative at t0.
+        t0, dt, t1: scalars (time dtype); t1 == t0 + dt.
+        tableau: ButcherTableau.
+
+    Returns:
+        (y1, f1, y1_error, k) where k is (s, n) stacked stage slopes.
+    """
+    y_dtype = y0.dtype
+    t0 = jnp.asarray(t0).astype(y_dtype)
+    dt = jnp.asarray(dt).astype(y_dtype)
+    t1 = jnp.asarray(t1).astype(y_dtype)
+
+    k = [f0]
+    yi = y0
+    for i in range(len(tableau.alpha)):
+        alpha_i = float(tableau.alpha[i])
+        if alpha_i == 1.0:
+            # Step to just before the end time in case of discontinuities.
+            ti = t1
+            perturb = Perturb.PREV
+        else:
+            ti = t0 + alpha_i * dt
+            perturb = Perturb.NONE
+        yi = y0 + weighted_sum(tableau.beta[i, :i + 1], k[:i + 1], dt)
+        k.append(func(ti, yi, perturb=perturb))
+
+    if tableau.is_fsal:
+        # The last stage already evaluated f at (t1, y1): `yi` IS y1.
+        y1 = yi
+    else:
+        y1 = y0 + weighted_sum(tableau.c_sol, k, dt)
+    f1 = k[-1]
+    y1_error = weighted_sum(tableau.c_error, k, dt)
+    k = jnp.stack(k)
+    return y1, f1, y1_error, k
+
+
+# ---------------------------------------------------------------------------
+# Standalone fixed-step functions (reference rk_common.py:99-158).
+# ---------------------------------------------------------------------------
+
+_ONE_THIRD = 1 / 3
+_TWO_THIRDS = 2 / 3
+_ONE_SIXTH = 1 / 6
+
+
+def rk4_step_func(func, t0, dt, t1, y0, f0=None, perturb=False):
+    """Classic RK4 (reference rk_common.py:99-107)."""
+    k1 = f0
+    if k1 is None:
+        k1 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
+    half_dt = dt * 0.5
+    k2 = func(t0 + half_dt, y0 + half_dt * k1)
+    k3 = func(t0 + half_dt, y0 + half_dt * k2)
+    k4 = func(t1, y0 + dt * k3, perturb=Perturb.PREV if perturb else Perturb.NONE)
+    return (k1 + 2 * (k2 + k3) + k4) * dt * _ONE_SIXTH
+
+
+def rk4_alt_step_func(func, t0, dt, t1, y0, f0=None, perturb=False):
+    """RK4 3/8-rule: smaller error, slightly more compute (reference
+    rk_common.py:110-118)."""
+    k1 = f0
+    if k1 is None:
+        k1 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
+    k2 = func(t0 + dt * _ONE_THIRD, y0 + dt * k1 * _ONE_THIRD)
+    k3 = func(t0 + dt * _TWO_THIRDS, y0 + dt * (k2 - k1 * _ONE_THIRD))
+    k4 = func(t1, y0 + dt * (k1 - k2 + k3),
+              perturb=Perturb.PREV if perturb else Perturb.NONE)
+    return (k1 + 3 * (k2 + k3) + k4) * dt * 0.125
+
+
+def rk3_step_func(func, t0, dt, t1, y0, butcher_tableu, f0=None, perturb=False):
+    """Generic 3-stage RK step from a [[0,...],[c2,a21,...],...] table
+    (reference rk_common.py:121-139)."""
+    k1 = f0
+    if k1 is None:
+        k1 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
+    k2 = func(t0 + dt * butcher_tableu[1][0], y0 + dt * k1 * butcher_tableu[1][1])
+    k3 = func(t0 + dt * butcher_tableu[2][0],
+              y0 + dt * (k1 * butcher_tableu[2][1] + k2 * butcher_tableu[2][2]))
+    return dt * (k1 * butcher_tableu[3][1] + k2 * butcher_tableu[3][2]
+                 + k3 * butcher_tableu[3][3])
+
+
+def rk2_step_func(func, t0, dt, t1, y0, butcher_tableu, f0=None, perturb=False):
+    """Generic 2-stage RK step (reference rk_common.py:142-158)."""
+    k1 = f0
+    if k1 is None:
+        k1 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
+    k2 = func(t0 + dt * butcher_tableu[1][0], y0 + dt * k1 * butcher_tableu[1][1],
+              perturb=Perturb.PREV if perturb else Perturb.NONE)
+    return dt * (k1 * butcher_tableu[2][1] + k2 * butcher_tableu[2][2])

@@ -1,0 +1,73 @@
+"""Step-size control: initial-step heuristic, error ratio, optimal step.
+
+Branch-free (``jnp.where``) re-design of the reference's step controller
+(torchdiffeq/_impl/misc.py:36-95) so it runs inside ``lax.while_loop`` on
+TPU without host synchronisation.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..misc import Perturb
+
+
+def select_initial_step(func, t0, y0, order, rtol, atol, norm, f0):
+    """Empirically select a good initial step (Hairer, Norsett & Wanner,
+    "Solving ODEs I", Sec. II.4; reference misc.py:36-77).
+
+    `order` here is `solver_order - 1`, matching the reference call site
+    (rk_common.py:219).  Costs one extra vector-field evaluation.
+    """
+    dtype = y0.dtype
+    t_dtype = jnp.asarray(t0).dtype
+
+    scale = atol + jnp.abs(y0) * rtol
+
+    d0 = jnp.abs(norm(y0 / scale))
+    d1 = jnp.abs(norm(f0 / scale))
+
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5),
+                   jnp.asarray(1e-6, dtype=dtype),
+                   0.01 * d0 / jnp.maximum(d1, jnp.finfo(dtype).tiny))
+    h0 = jnp.abs(h0)
+
+    y1 = y0 + h0.astype(dtype) * f0
+    f1 = func(jnp.asarray(t0).astype(dtype) + h0.astype(dtype), y1,
+              perturb=Perturb.NONE)
+
+    d2 = jnp.abs(norm((f1 - f0) / scale) / h0)
+
+    d_max = jnp.maximum(d1, d2)
+    h1 = jnp.where(
+        (d1 <= 1e-15) & (d2 <= 1e-15),
+        jnp.maximum(jnp.asarray(1e-6, dtype=dtype), h0 * 1e-3),
+        (0.01 / jnp.maximum(d_max, jnp.finfo(dtype).tiny)) ** (1.0 / float(order + 1)))
+    h1 = jnp.abs(h1)
+
+    return jnp.minimum(100 * h0, h1).astype(t_dtype)
+
+
+def compute_error_ratio(error_estimate, rtol, atol, y0, y1, norm):
+    """norm(err / (atol + rtol * max(|y0|, |y1|))) (reference misc.py:80-82)."""
+    error_tol = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+    return jnp.abs(norm(error_estimate / error_tol))
+
+
+def optimal_step_size(last_step, error_ratio, safety, ifactor, dfactor, order):
+    """I-controller step update (reference misc.py:85-95):
+
+        factor = min(ifactor, max(safety * ratio^(-1/order), dfactor))
+
+    with dfactor ignored (set to 1) on accepted steps, and a full `ifactor`
+    increase when the error is exactly zero.
+    """
+    t_dtype = jnp.asarray(last_step).dtype
+    error_ratio = jnp.asarray(error_ratio).astype(t_dtype)
+    zero_err = error_ratio == 0
+    dfactor = jnp.where(error_ratio < 1, jnp.ones((), dtype=t_dtype), dfactor)
+    safe_ratio = jnp.maximum(error_ratio, jnp.finfo(t_dtype).tiny)
+    exponent = jnp.asarray(1.0 / order, dtype=t_dtype)
+    factor = jnp.minimum(ifactor,
+                         jnp.maximum(safety / safe_ratio ** exponent, dfactor))
+    factor = jnp.where(zero_err, ifactor, factor)
+    return last_step * factor

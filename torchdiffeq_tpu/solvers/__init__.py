@@ -1,0 +1,52 @@
+"""Solver registry.
+
+Mirrors the 23-method ``SOLVERS`` registry of the reference
+(torchdiffeq/_impl/odeint.py:19-46), but entries are declarative specs
+dispatched to functional drivers instead of solver classes.
+"""
+from __future__ import annotations
+
+from ..ops import tableaus as tb
+from . import fixed_grid
+
+# kind:
+#   'adaptive' — lax.while_loop adaptive RK driver      (adaptive_rk.py)
+#   'fixed'    — lax.scan fixed-grid explicit driver    (fixed_grid.py)
+#   'adams'    — lax.scan Adams-Bashforth(-Moulton)     (adams.py)
+#   'firk'     — fixed-grid fully-implicit RK           (fixed_grid_implicit.py)
+#   'dirk'     — fixed-grid diagonally-implicit RK      (fixed_grid_implicit.py)
+#   'scipy'    — host-callback SciPy solve_ivp bridge   (scipy_wrapper.py)
+SOLVERS = {
+    'dopri8': dict(kind='adaptive', tableau=tb.DOPRI8),
+    'dopri5': dict(kind='adaptive', tableau=tb.DOPRI5),
+    'tsit5': dict(kind='adaptive', tableau=tb.TSIT5),
+    'bosh3': dict(kind='adaptive', tableau=tb.BOSH3),
+    'fehlberg2': dict(kind='adaptive', tableau=tb.FEHLBERG2),
+    'adaptive_heun': dict(kind='adaptive', tableau=tb.ADAPTIVE_HEUN),
+    'euler': dict(kind='fixed', method=fixed_grid.FIXED_STEP_METHODS['euler']),
+    'midpoint': dict(kind='fixed', method=fixed_grid.FIXED_STEP_METHODS['midpoint']),
+    'heun2': dict(kind='fixed', method=fixed_grid.FIXED_STEP_METHODS['heun2']),
+    'heun3': dict(kind='fixed', method=fixed_grid.FIXED_STEP_METHODS['heun3']),
+    'rk4': dict(kind='fixed', method=fixed_grid.FIXED_STEP_METHODS['rk4']),
+    'explicit_adams': dict(kind='adams', implicit=False),
+    'implicit_adams': dict(kind='adams', implicit=True),
+    'implicit_euler': dict(kind='firk', tableau=tb.IMPLICIT_EULER),
+    'implicit_midpoint': dict(kind='firk', tableau=tb.IMPLICIT_MIDPOINT),
+    'trapezoid': dict(kind='firk', tableau=tb.TRAPEZOID),
+    'radauIIA3': dict(kind='firk', tableau=tb.RADAU_IIA_3),
+    'gl4': dict(kind='firk', tableau=tb.GAUSS_LEGENDRE_4),
+    'radauIIA5': dict(kind='firk', tableau=tb.RADAU_IIA_5),
+    'gl6': dict(kind='firk', tableau=tb.GAUSS_LEGENDRE_6),
+    'sdirk2': dict(kind='dirk', tableau=tb.SDIRK2),
+    'trbdf2': dict(kind='dirk', tableau=tb.TRBDF2),
+    # Backward compatibility alias, as in the reference.
+    'fixed_adams': dict(kind='adams', implicit=True),
+    'scipy_solver': dict(kind='scipy'),
+}
+
+# Methods whose plain-`odeint` gradient path is native backprop through the
+# lax.scan discretisation (discretise-then-optimise, exactly matching the
+# reference's autograd-through-the-solver semantics).  Adaptive methods use
+# a continuous-adjoint custom_vjp instead (lax.while_loop is not
+# reverse-differentiable; see adjoint.py).
+DIRECT_DIFF_KINDS = frozenset({'fixed', 'adams', 'firk', 'dirk'})

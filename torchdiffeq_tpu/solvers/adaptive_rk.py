@@ -1,0 +1,332 @@
+"""Adaptive Runge-Kutta driver as a single `lax.while_loop`.
+
+TPU-native redesign of ``RKAdaptiveStepsizeODESolver`` (reference
+torchdiffeq/_impl/rk_common.py:161-369).  The reference interleaves a Python
+``while`` per output time with host-side branching; XLA punishes that, so
+here the *entire* solve — stepping, accept/reject, ``step_t``/``jump_t``
+truncation, and output emission via the 4th-order interpolant — is one
+compiled ``while_loop`` over a fixed-shape carry.  Each loop iteration either
+(a) emits the next requested output time from the current step's interpolant,
+or (b) takes one adaptive step; ``lax.cond`` selects between them.
+
+Numerical semantics (controller constants, FSAL, perturbation rules, the
+mixed time/state precision contract) exactly mirror the reference; the
+reference's data-dependent asserts become error codes in the carry
+(see solution.py).
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..misc import Perturb
+from ..ops.interp import interp_fit, interp_evaluate
+from ..ops.rk_step import runge_kutta_step, weighted_sum
+from ..ops.step_control import (select_initial_step, compute_error_ratio,
+                                optimal_step_size)
+from ..ops.tableaus import ButcherTableau
+from .solution import (Stats, OK, ERR_DT_UNDERFLOW, ERR_NONFINITE_STATE,
+                       ERR_MAX_NUM_STEPS)
+
+
+class _Carry(NamedTuple):
+    # Mirror of `_RungeKuttaState` (reference rk_common.py:18) ...
+    y1: jnp.ndarray        # (n,) state at the end of the last accepted step
+    f1: jnp.ndarray        # (n,) derivative there
+    t0: jnp.ndarray        # scalar, start of the last step
+    t1: jnp.ndarray        # scalar, end of the last step
+    dt: jnp.ndarray        # scalar, proposed size of the next step
+    coeff: jnp.ndarray     # (5, n) dense-output coefficients on [t0, t1]
+    # ... plus the output buffer and telemetry that the reference keeps on
+    # the Python side:
+    i_out: jnp.ndarray     # next output index to emit
+    out: jnp.ndarray       # (T, n) solution buffer
+    step_idx: jnp.ndarray  # next step_t index
+    jump_idx: jnp.ndarray  # next jump_t index
+    nfe: jnp.ndarray
+    n_steps: jnp.ndarray
+    n_acc: jnp.ndarray
+    n_rej: jnp.ndarray
+    steps_in_interval: jnp.ndarray  # reset at each emission (reference
+                                    # counts max_num_steps per `_advance`)
+    err: jnp.ndarray
+
+
+class AdaptiveConfig(NamedTuple):
+    tableau: ButcherTableau
+    rtol: Any
+    atol: Any
+    norm: Any
+    first_step: Any = None
+    step_t: Any = None           # sorted 1-D array or None
+    jump_t: Any = None
+    safety: float = 0.9
+    ifactor: float = 10.0
+    dfactor: float = 0.2
+    min_step: float = 0.0
+    max_step: float = float('inf')
+    max_num_steps: int = 2 ** 31 - 1
+
+
+def _setup(func, y0, t0, cfg: AdaptiveConfig, t_dtype):
+    """Initial f0 / dt selection (reference `_before_integrate`,
+    rk_common.py:213-241).  Returns (f0, dt0, nfe0)."""
+    f0 = func(t0, y0, perturb=Perturb.NONE)
+    if cfg.first_step is None:
+        dt0 = select_initial_step(func, t0, y0, cfg.tableau.order - 1,
+                                  cfg.rtol, cfg.atol, cfg.norm, f0)
+        nfe0 = 2
+    else:
+        dt0 = jnp.asarray(cfg.first_step, dtype=t_dtype)
+        nfe0 = 1
+    return f0, dt0.astype(t_dtype), nfe0
+
+
+def _prep_tvals(tvals, t0, t_dtype):
+    """Sort the step_t/jump_t array and locate the first entry past t0
+    (reference `_sort_tvals` + bisect, rk_common.py:224-241).  The array
+    keeps its static length; exhaustion is handled by the `t0 < tv < t1`
+    window test exactly as in the reference."""
+    tvals = jnp.sort(jnp.asarray(tvals, dtype=t_dtype))
+    idx = jnp.clip(jnp.searchsorted(tvals, t0, side='right'),
+                   0, tvals.shape[0] - 1).astype(jnp.int32)
+    return tvals, idx
+
+
+def _interp_fit_step(y0, y1, k, dt, tableau):
+    """Quartic fit from the stage slopes (reference rk_common.py:363-369)."""
+    dt_y = jnp.asarray(dt).astype(y0.dtype)
+    y_mid = y0 + weighted_sum(tableau.c_mid, list(k), dt_y)
+    return interp_fit(y0, y1, y_mid, k[0], k[-1], dt_y)
+
+
+def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
+                   t_dtype):
+    """One accept-or-reject adaptive step (reference `_adaptive_step`,
+    rk_common.py:266-361), fully branch-free."""
+    tab = cfg.tableau
+    y0, f0, t0 = c.y1, c.f1, c.t1
+    dt = c.dt
+    dt = jnp.where(jnp.isfinite(dt), dt, cfg.min_step)
+    dt = jnp.clip(dt, cfg.min_step, cfg.max_step)
+
+    # --- guards (reference asserts, rk_common.py:286-287 + solvers max) ----
+    err = jnp.where(c.steps_in_interval >= cfg.max_num_steps,
+                    ERR_MAX_NUM_STEPS, OK).astype(jnp.int32)
+    err = jnp.where((err == OK) & ~(t0 + dt > t0), ERR_DT_UNDERFLOW,
+                    err).astype(jnp.int32)
+    err = jnp.where((err == OK) & ~jnp.all(jnp.isfinite(y0)),
+                    ERR_NONFINITE_STATE, err).astype(jnp.int32)
+
+    t1 = t0 + dt
+
+    # --- step_t / jump_t truncation (rk_common.py:293-311) ----------------
+    false = jnp.asarray(False)
+    on_step_t = false
+    if step_t is not None and step_t.shape[0] > 0:
+        next_step_t = step_t[c.step_idx]
+        on_step_t = (t0 < next_step_t) & (next_step_t < t1)
+        t1 = jnp.where(on_step_t, next_step_t, t1)
+    on_jump_t = false
+    if jump_t is not None and jump_t.shape[0] > 0:
+        next_jump_t = jump_t[c.jump_idx]
+        on_jump_t = (t0 < next_jump_t) & (next_jump_t < t1)
+        on_step_t = on_step_t & ~on_jump_t
+        t1 = jnp.where(on_jump_t, next_jump_t, t1)
+    dt = t1 - t0
+
+    # --- the RK step -------------------------------------------------------
+    y1, f1, y1_err, k = runge_kutta_step(func, y0, f0, t0, dt, t1, tab)
+    nfe = len(tab.alpha)
+
+    error_ratio = compute_error_ratio(y1_err, cfg.rtol, cfg.atol, y0, y1,
+                                      cfg.norm)
+    accept = error_ratio <= 1
+    accept = jnp.where(dt > cfg.max_step, False, accept)
+    accept = jnp.where(dt <= cfg.min_step, True, accept)
+
+    # --- jump_t: re-evaluate f on the far side of the discontinuity --------
+    jump_reeval = false
+    if jump_t is not None and jump_t.shape[0] > 0:
+        jump_reeval = accept & on_jump_t
+        f1 = jax.lax.cond(
+            jump_reeval,
+            lambda: func(t1, y1, perturb=Perturb.NEXT),
+            lambda: f1)
+
+    coeff = jax.lax.cond(
+        accept,
+        lambda: _interp_fit_step(y0, y1, k, dt, tab),
+        lambda: c.coeff)
+
+    t_next = jnp.where(accept, t1, t0)
+    y_next = jnp.where(accept, y1, y0)
+    f_next = jnp.where(accept, f1, f0)
+    dt_next = optimal_step_size(dt, error_ratio, cfg.safety, cfg.ifactor,
+                                cfg.dfactor, tab.order)
+    dt_next = jnp.clip(dt_next, cfg.min_step, cfg.max_step)
+
+    step_idx, jump_idx = c.step_idx, c.jump_idx
+    if step_t is not None and step_t.shape[0] > 0:
+        step_idx = jnp.where(accept & on_step_t & (step_idx != step_t.shape[0] - 1),
+                             step_idx + 1, step_idx)
+    if jump_t is not None and jump_t.shape[0] > 0:
+        jump_idx = jnp.where(accept & on_jump_t & (jump_idx != jump_t.shape[0] - 1),
+                             jump_idx + 1, jump_idx)
+
+    stepped = c._replace(
+        y1=y_next, f1=f_next, t0=t0, t1=t_next, dt=dt_next, coeff=coeff,
+        step_idx=step_idx, jump_idx=jump_idx,
+        nfe=c.nfe + nfe + jump_reeval.astype(jnp.int32),
+        n_steps=c.n_steps + 1,
+        n_acc=c.n_acc + accept.astype(jnp.int32),
+        n_rej=c.n_rej + (~accept).astype(jnp.int32),
+        steps_in_interval=c.steps_in_interval + 1)
+
+    # On a guard trip, freeze the state and record the error code.
+    return jax.lax.cond(err == OK,
+                        lambda: stepped,
+                        lambda: c._replace(err=err))
+
+
+def integrate(func, y0, ts, cfg: AdaptiveConfig):
+    """Integrate to every time in `ts` (increasing, shape (T,)).
+
+    Returns (ys (T, n), Stats).  The equivalent of
+    `AdaptiveStepsizeODESolver.integrate` (reference solvers.py:28-35) +
+    `_advance` (rk_common.py:243-250), fused into one while_loop.
+    """
+    ts = jnp.asarray(ts)
+    t_dtype = ts.dtype
+    T = ts.shape[0]
+    n = y0.shape[0]
+
+    f0, dt0, nfe0 = _setup(func, y0, ts[0], cfg, t_dtype)
+
+    step_t = jump_t = None
+    step_idx = jump_idx = jnp.int32(0)
+    if cfg.step_t is not None:
+        step_t, step_idx = _prep_tvals(cfg.step_t, ts[0], t_dtype)
+    if cfg.jump_t is not None:
+        jump_t, jump_idx = _prep_tvals(cfg.jump_t, ts[0], t_dtype)
+    _check_no_duplicates(cfg.step_t, cfg.jump_t)
+
+    out = jnp.zeros((T, n), dtype=y0.dtype).at[0].set(y0)
+    zeros_coeff = jnp.zeros((5, n), dtype=y0.dtype).at[0].set(y0)
+    carry = _Carry(
+        y1=y0, f1=f0, t0=ts[0], t1=ts[0], dt=dt0, coeff=zeros_coeff,
+        i_out=jnp.int32(1), out=out, step_idx=step_idx, jump_idx=jump_idx,
+        nfe=jnp.int32(nfe0), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
+        n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
+        err=jnp.int32(OK))
+
+    def cond(c):
+        return (c.i_out < T) & (c.err == OK)
+
+    def emit(c):
+        next_t = ts[c.i_out]
+        y = interp_evaluate(c.coeff, c.t0, c.t1, next_t)
+        return c._replace(out=c.out.at[c.i_out].set(y),
+                          i_out=c.i_out + 1,
+                          steps_in_interval=jnp.int32(0))
+
+    def body(c):
+        next_t = ts[c.i_out]
+        return jax.lax.cond(
+            next_t > c.t1,
+            lambda cc: _adaptive_step(cc, func, cfg, step_t, jump_t, t_dtype),
+            emit,
+            c)
+
+    carry = jax.lax.while_loop(cond, body, carry)
+
+    # On failure, poison the unwritten tail of the buffer so downstream
+    # consumers can't silently use stale zeros.
+    bad = carry.err != OK
+    row_ids = jnp.arange(T)[:, None]
+    ys = jnp.where(bad & (row_ids >= carry.i_out), jnp.nan, carry.out)
+
+    stats = Stats.make(nfe=carry.nfe, n_steps=carry.n_steps,
+                       n_accepted=carry.n_acc, n_rejected=carry.n_rej,
+                       error_code=carry.err)
+    return ys, stats
+
+
+def integrate_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig):
+    """Step until `event_fn(t, y)` changes sign, then bisect on the dense
+    interpolant (reference `_advance_until_event`, rk_common.py:252-264 +
+    `integrate_until_event`, solvers.py:44-49).
+
+    Returns (event_t, y_event, Stats).
+    """
+    from ..events import find_event
+
+    t0 = jnp.asarray(t0)
+    t_dtype = t0.dtype
+    n = y0.shape[0]
+
+    f0, dt0, nfe0 = _setup(func, y0, t0, cfg, t_dtype)
+
+    step_t = jump_t = None
+    step_idx = jump_idx = jnp.int32(0)
+    if cfg.step_t is not None:
+        step_t, step_idx = _prep_tvals(cfg.step_t, t0, t_dtype)
+    if cfg.jump_t is not None:
+        jump_t, jump_idx = _prep_tvals(cfg.jump_t, t0, t_dtype)
+
+    ev0 = event_fn(t0, y0)
+    sign0 = jnp.sign(ev0)
+    at_event_already = ev0 == 0
+
+    zeros_coeff = jnp.zeros((5, n), dtype=y0.dtype).at[0].set(y0)
+    carry = _Carry(
+        y1=y0, f1=f0, t0=t0, t1=t0, dt=dt0, coeff=zeros_coeff,
+        i_out=jnp.int32(0), out=jnp.zeros((1, n), dtype=y0.dtype),
+        step_idx=step_idx, jump_idx=jump_idx,
+        nfe=jnp.int32(nfe0), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
+        n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
+        err=jnp.int32(OK))
+
+    def cond(c):
+        same_sign = jnp.sign(event_fn(c.t1, c.y1)) == sign0
+        return same_sign & (c.err == OK) & ~at_event_already
+
+    def body(c):
+        return _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype)
+
+    carry = jax.lax.while_loop(cond, body, carry)
+
+    interp_fn = lambda t: interp_evaluate(carry.coeff, carry.t0, carry.t1, t)
+
+    def _found():
+        return find_event(interp_fn, sign0, carry.t0, carry.t1, event_fn,
+                          cfg.atol)
+
+    def _already():
+        return t0, y0
+
+    event_t, y_event = jax.lax.cond(at_event_already, _already, _found)
+    stats = Stats.make(nfe=carry.nfe, n_steps=carry.n_steps,
+                       n_accepted=carry.n_acc, n_rejected=carry.n_rej,
+                       error_code=carry.err)
+    return event_t, y_event, stats
+
+
+def _check_no_duplicates(step_t, jump_t):
+    """`step_t` and `jump_t` must not share elements (reference
+    rk_common.py:229-231).  Only checkable with concrete values."""
+    if step_t is None or jump_t is None:
+        return
+    try:
+        s = np.asarray(step_t).ravel()
+        j = np.asarray(jump_t).ravel()
+    except Exception:
+        return
+    combined = np.concatenate([s, j])
+    if len(np.unique(combined)) != len(combined):
+        raise ValueError(
+            "`step_t` and `jump_t` must not have any repeated elements "
+            "between them.")

@@ -1,0 +1,45 @@
+"""Solve statistics and error codes.
+
+The reference surfaces solver telemetry through Python callbacks and
+data-dependent asserts (torchdiffeq/_impl/rk_common.py:272,286-287,339,354).
+Neither works inside a compiled ``lax.while_loop``, so the TPU build carries
+counters and an error code in the loop state and returns them as a `Stats`
+pytree alongside the solution.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+# Error codes (0 == success).
+OK = 0
+ERR_DT_UNDERFLOW = 1     # reference: `assert t0 + dt > t0` (rk_common.py:286)
+ERR_NONFINITE_STATE = 2  # reference: `assert torch.isfinite(y0).all()` (rk_common.py:287)
+ERR_MAX_NUM_STEPS = 3    # reference: `assert n_steps < max_num_steps` (rk_common.py:245)
+ERR_IMPLICIT_NO_CONVERGENCE = 4  # reference: warning (rk_common.py:461-462)
+
+ERROR_MESSAGES = {
+    OK: "success",
+    ERR_DT_UNDERFLOW: "underflow in dt",
+    ERR_NONFINITE_STATE: "non-finite values in state `y`",
+    ERR_MAX_NUM_STEPS: "max_num_steps exceeded",
+    ERR_IMPLICIT_NO_CONVERGENCE: "implicit solve did not converge",
+}
+
+
+class Stats(NamedTuple):
+    """Telemetry for one solve.  All fields are int32 scalars (possibly
+    traced).  `nfe` counts vector-field evaluations, matching the NFE
+    bookkeeping convention of the reference tests (tests/problems.py:41)."""
+    nfe: jnp.ndarray
+    n_steps: jnp.ndarray
+    n_accepted: jnp.ndarray
+    n_rejected: jnp.ndarray
+    error_code: jnp.ndarray
+
+    @staticmethod
+    def make(nfe=0, n_steps=0, n_accepted=0, n_rejected=0, error_code=OK):
+        i32 = lambda v: jnp.asarray(v, dtype=jnp.int32)
+        return Stats(i32(nfe), i32(n_steps), i32(n_accepted), i32(n_rejected),
+                     i32(error_code))
