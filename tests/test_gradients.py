@@ -1,0 +1,177 @@
+"""Gradient correctness, mirroring reference tests/gradient_tests.py:
+
+* finite-difference gradient checks through the solver for every method wrt
+  (y0, t) (reference uses torch.autograd.gradcheck, :13-32; we use
+  jax.test_util.check_grads / manual FD)
+* adjoint gradients vs direct-backprop gradients at tight tolerance,
+  including parameter and time gradients (:34-86)
+* unused parameters receive exactly zero gradient (:89-135)
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchdiffeq_tpu as tde
+from problems import (construct_problem, ADAPTIVE_METHODS, FIXED_METHODS,
+                      FIXED_EXPLICIT_METHODS, FIXED_IMPLICIT_METHODS)
+
+# Methods x the gradient path they use:
+#  - fixed explicit/adams: native backprop through lax.scan (exact discrete)
+#  - fixed implicit: IFT custom_vjp on each stage solve (exact at tolerance)
+#  - adaptive: continuous adjoint at solver tolerance
+GRAD_METHODS = ('dopri5', 'bosh3', 'adaptive_heun', 'euler', 'midpoint',
+                'rk4', 'heun2', 'heun3', 'explicit_adams', 'implicit_adams',
+                'implicit_euler', 'trapezoid', 'gl4', 'radauIIA3', 'sdirk2',
+                'trbdf2')
+
+
+def _fd_grad(fn, x, eps=1e-6):
+    x = np.asarray(x, dtype=np.float64)
+    g = np.zeros_like(x)
+    for i in range(x.size):
+        xp = x.copy().reshape(-1)
+        xm = x.copy().reshape(-1)
+        xp[i] += eps
+        xm[i] -= eps
+        g.reshape(-1)[i] = (float(fn(jnp.asarray(xp.reshape(x.shape))))
+                            - float(fn(jnp.asarray(xm.reshape(x.shape))))) / (2 * eps)
+    return g
+
+
+@pytest.mark.parametrize('method', GRAD_METHODS)
+def test_gradcheck_y0(method):
+    """d(sum y(T))/dy0 matches central finite differences."""
+    f, y0, t_points, sol = construct_problem(ode='linear', npts=3)
+    kwargs = {}
+    if method in ('euler', 'midpoint', 'heun2', 'implicit_euler'):
+        kwargs = dict(options=dict(step_size=0.1))
+    if method in ('explicit_adams', 'implicit_adams'):
+        # order-12 AB is unstable on this problem at h=0.1 (tiny stability
+        # region — the reference behaves identically); cap the order.
+        kwargs = dict(options=dict(step_size=0.1, max_order=4))
+    tol = dict(rtol=1e-9, atol=1e-11) if method in ADAPTIVE_METHODS else {}
+
+    def loss(y0_):
+        ys = tde.odeint(f, y0_, t_points, method=method, **tol, **kwargs)
+        return jnp.sum(ys[-1] * jnp.arange(1.0, 1.0 + ys.shape[1]))
+
+    g = np.asarray(jax.grad(loss)(y0))
+    g_fd = _fd_grad(loss, y0)
+    # Low-order adaptive methods: FD-of-the-discrete-solve is noisy at the
+    # level of (tolerance / fd_eps) because the accepted-step sequence
+    # changes discontinuously under perturbation, so the comparison against
+    # the continuous-adjoint gradient plateaus around 1e-3.
+    rtol = 2e-2 if method in ('bosh3', 'adaptive_heun') else 2e-4
+    np.testing.assert_allclose(g, g_fd, rtol=rtol, atol=1e-6,
+                               err_msg=f"method={method}")
+
+
+@pytest.mark.parametrize('method', ('dopri5', 'tsit5'))
+def test_gradcheck_t(method):
+    """Gradient wrt the output times matches finite differences."""
+    f, y0, t_points, sol = construct_problem(ode='sine', npts=4)
+
+    def loss(t_):
+        ys = tde.odeint(f, y0, t_, method=method, rtol=1e-10, atol=1e-12)
+        return jnp.sum(ys ** 2)
+
+    g = np.asarray(jax.grad(loss)(t_points))
+    g_fd = _fd_grad(loss, t_points, eps=1e-6)
+    np.testing.assert_allclose(g, g_fd, rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize('ode', ['constant', 'linear', 'sine', 'exp'])
+@pytest.mark.parametrize('reverse', [False, True])
+def test_adjoint_vs_direct(ode, reverse):
+    """odeint_adjoint gradients match plain odeint gradients at tight
+    tolerance, incl. parameters and times (reference gradient_tests.py:34-86).
+    Per-problem error budgets from the reference (:41-49)."""
+    import copy
+    eps = dict(constant=1e-10, sine=5e-3, linear=2e-3, exp=1e-2)[ode]
+
+    f, y0, t_points, _ = construct_problem(ode=ode, reverse=reverse)
+    params = f.params
+
+    def bind(params_):
+        g = copy.copy(f)
+        g.params = params_
+        return g
+
+    def make_loss(odeint_fn):
+        def loss(y0_, t_, params_):
+            ys = odeint_fn(bind(params_), y0_, t_, rtol=1e-9, atol=1e-12)
+            return jnp.sum(ys ** 2)
+        return loss
+
+    loss_direct = make_loss(tde.odeint)
+    loss_adjoint = make_loss(tde.odeint_adjoint)
+
+    g_direct = jax.grad(loss_direct, argnums=(0, 1, 2))(y0, t_points, params)
+    g_adjoint = jax.grad(loss_adjoint, argnums=(0, 1, 2))(y0, t_points, params)
+
+    for ga, gd in zip(jax.tree_util.tree_leaves(g_adjoint),
+                      jax.tree_util.tree_leaves(g_direct)):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gd),
+                                   rtol=eps, atol=eps)
+
+
+def test_unused_params_zero_grad():
+    """Parameters not used by the vector field get exactly zero gradient
+    (reference gradient_tests.py:89-135)."""
+    used = jnp.array([[-0.5]])
+    unused = jnp.array([7.0, 8.0])
+
+    def f(t, y, used_, unused_):
+        return y @ used_
+
+    def loss(used_, unused_):
+        ys = tde.odeint_adjoint(f, jnp.ones((1,)), jnp.linspace(0., 1., 3),
+                                args=(used_, unused_))
+        return jnp.sum(ys[-1])
+
+    g_used, g_unused = jax.grad(loss, argnums=(0, 1))(used, unused)
+    assert float(jnp.max(jnp.abs(g_used))) > 0
+    np.testing.assert_array_equal(np.asarray(g_unused), np.zeros(2))
+
+
+def test_adjoint_closure_params():
+    """Gradients flow to arrays closed over by func (reference requires
+    nn.Module param discovery, adjoint.py:226-240; we use closure_convert)."""
+    A = jnp.array([[-0.7]])
+
+    def loss(A_):
+        f = lambda t, y: y @ A_
+        ys = tde.odeint_adjoint(f, jnp.ones((1,)), jnp.linspace(0., 2., 3),
+                                rtol=1e-10, atol=1e-12)
+        return jnp.sum(ys[-1])
+
+    g = jax.grad(loss)(A)
+    g_fd = _fd_grad(loss, A)
+    np.testing.assert_allclose(np.asarray(g), g_fd, rtol=1e-6, atol=1e-9)
+
+
+def test_adjoint_different_method():
+    """adjoint_method different from forward method."""
+    f, y0, t_points, sol = construct_problem(ode='constant', npts=3)
+
+    def loss(y0_):
+        ys = tde.odeint_adjoint(f, y0_, t_points, rtol=1e-9, atol=1e-11,
+                                adjoint_method='bosh3', adjoint_rtol=1e-9,
+                                adjoint_atol=1e-11)
+        return jnp.sum(ys[-1])
+
+    g = np.asarray(jax.grad(loss)(y0))
+    g_fd = _fd_grad(loss, y0)
+    np.testing.assert_allclose(g, g_fd, rtol=1e-5, atol=1e-8)
+
+
+def test_second_forward_after_grad():
+    """The solve is re-usable after being differentiated (no tracer
+    leakage from the custom_vjp machinery)."""
+    f, y0, t_points, sol = construct_problem(ode='constant', npts=3)
+    loss = lambda y0_: jnp.sum(tde.odeint(f, y0_, t_points)[-1])
+    jax.grad(loss)(y0)
+    out1 = loss(y0)
+    out2 = loss(y0)
+    assert float(out1) == float(out2)

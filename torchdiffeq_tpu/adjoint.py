@@ -105,13 +105,18 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
     adjoint_options = {} if adjoint_options is None else dict(adjoint_options)
 
     # --- make parameters explicit -----------------------------------------
+    # The user func receives state-dtype times (the reference `_PerturbFunc`
+    # contract, misc.py:174-197), so trace the closure conversion with a
+    # state-dtype time example; closure_convert pins argument avals.
+    _y_dtype = ravel_pytree(y0)[0].dtype
+    _t_ex = jnp.zeros((), dtype=_y_dtype)
     conv, consts = jax.closure_convert(
-        lambda tt, yy, aa: func(tt, yy, *aa), t[0], y0, args)
+        lambda tt, yy, aa: func(tt, yy, *aa), _t_ex, y0, args)
     consts = tuple(consts)
 
     if event_fn is not None:
         ev_conv, ev_consts = jax.closure_convert(
-            lambda tt, yy: event_fn(tt, yy), t[0], y0)
+            lambda tt, yy: event_fn(tt, yy), _t_ex, y0)
         ev_consts = tuple(ev_consts)
     else:
         ev_conv, ev_consts = None, ()
@@ -119,6 +124,7 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
     theta = (args, consts, ev_consts)
 
     def pure_func(tt, yy, th):
+        tt = jnp.asarray(tt).astype(_y_dtype)
         return conv(tt, yy, th[0], *th[1])
 
     user_state_norm = (options or {}).get('norm')

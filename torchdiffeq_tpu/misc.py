@@ -232,11 +232,17 @@ def check_inputs(func, y0, t, rtol, atol, method, options, event_fn, solvers,
         t_sign = jnp.where(t[-1] >= t[0], 1.0, -1.0).astype(tdt)
 
     t = t_sign * t
+
+    def _sgn(x):
+        # dtype-preserving sign multiply (t_sign lives in the time dtype and
+        # must not promote f32 state computations).
+        return t_sign.astype(jnp.asarray(x).dtype) * x
+
     _base_flat_func = flat_func
-    flat_func = lambda tt, y_flat: t_sign * _base_flat_func(t_sign * tt, y_flat)
+    flat_func = lambda tt, y_flat: _sgn(_base_flat_func(_sgn(tt), y_flat))
     if flat_event_fn is not None:
         _base_event = flat_event_fn
-        flat_event_fn = lambda tt, y_flat: _base_event(t_sign * tt, y_flat)
+        flat_event_fn = lambda tt, y_flat: _base_event(_sgn(tt), y_flat)
     grid_constructor = options.get('grid_constructor')
     if grid_constructor is not None:
         options['grid_constructor'] = \

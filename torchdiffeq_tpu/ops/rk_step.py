@@ -25,7 +25,9 @@ def weighted_sum(coeffs, vecs, dt=None):
     for c, v in zip(coeffs, vecs):
         if c == 0.0:
             continue
-        term = c * v
+        # python-float coefficients are weakly typed: they preserve the
+        # state dtype (a numpy float64 scalar would promote f32 state).
+        term = float(c) * v
         total = term if total is None else total + term
     if total is None:
         total = jnp.zeros_like(vecs[0])

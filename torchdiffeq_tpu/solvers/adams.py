@@ -82,16 +82,19 @@ def make_adams_method(*, implicit, rtol, atol, max_iters=MAX_ITERS,
         def adams_branch(state):
             hist = state['hist']  # (hist_size, n), newest first
             bash = bashforth[order]                         # (hist_size,)
-            dy = dt_y * jnp.tensordot(bash, hist, axes=1)    # AB predictor
+            # coefficients are f64; cast the increment back to the state
+            # dtype (reference fixed_adams.py:205 `.type_as(y0)`).
+            dy = (dt_y * jnp.tensordot(bash, hist, axes=1)).astype(y0.dtype)
             if implicit:
                 moult = moulton[order + 1]                   # (hist_size+1,)
-                delta = dt_y * jnp.tensordot(moult[1:], hist, axes=1)
+                delta = (dt_y * jnp.tensordot(moult[1:], hist,
+                                              axes=1)).astype(y0.dtype)
 
                 def corrector(carry, _):
                     dy, converged, f_last = carry
                     f = func(t1, y0 + dy,
                              perturb=Perturb.PREV if perturb else Perturb.NONE)
-                    dy_new = dt_y * moult[0] * f + delta
+                    dy_new = (dt_y * moult[0] * f).astype(y0.dtype) + delta
                     conv_now = _has_converged(dy, dy_new)
                     dy = jnp.where(converged, dy, dy_new)
                     f_last = jnp.where(converged, f_last, f)

@@ -136,7 +136,11 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
         on_jump_t = (t0 < next_jump_t) & (next_jump_t < t1)
         on_step_t = on_step_t & ~on_jump_t
         t1 = jnp.where(on_jump_t, next_jump_t, t1)
-    dt = t1 - t0
+    # Only recompute dt when a truncation fired (reference rk_common.py:299,
+    # 307): the unconditional `t1 - t0` roundtrip can exceed max_step by one
+    # ULP and force-reject every step.
+    truncated = on_step_t | on_jump_t
+    dt = jnp.where(truncated, t1 - t0, dt)
 
     # --- the RK step -------------------------------------------------------
     y1, f1, y1_err, k = runge_kutta_step(func, y0, f0, t0, dt, t1, tab)
