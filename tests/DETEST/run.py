@@ -1,0 +1,139 @@
+"""DETEST benchmark runner (reference tests/DETEST/run.py protocol):
+
+sweep {dopri5, fixed_adams} x tol {1e-3, 1e-6, 1e-9} over the 25 problems on
+t in [0, 20], against a dopri5 @ 1e-12 self-generated ground truth; report
+per-problem NFE / wall-clock / RMSE plus totals and error geomean.
+
+Additionally (north-star metric, BASELINE.md): `--parity` runs the reference
+torchdiffeq side-by-side at rtol=atol=1e-7 and reports the per-problem
+NFE ratio and trajectory agreement for dopri5 and dopri8.
+
+Run on CPU in float64:  python tests/DETEST/run.py [--parity]
+"""
+import argparse
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from scipy.stats.mstats import gmean  # noqa: E402
+
+import os  # noqa: E402
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _here)
+sys.path.insert(0, os.path.dirname(os.path.dirname(_here)))  # repo root
+import detest  # noqa: E402
+
+import torchdiffeq_tpu as tde  # noqa: E402
+
+
+def solve(name, method, tol, t1=20.0):
+    diffeq, init, _ = detest.ALL_PROBLEMS[name]()
+    t0, y0 = init()
+    y0 = y0.astype(jnp.float64)
+    t = jnp.stack([t0.astype(jnp.float64), jnp.asarray(t1, jnp.float64)])
+    options = None
+    if method in ('fixed_adams', 'explicit_adams', 'implicit_adams'):
+        # fixed-grid multistep: without a step size the 2-point horizon
+        # would be a single giant step (as in the reference, whose runner
+        # asks for a nonexistent 'adams' method); pick h ~ tol^(1/4).
+        # max_order=6: order-12 Adams is unstable at the coarser steps
+        # (tiny stability region; verified bit-identical blow-up in the
+        # reference implementation).
+        options = dict(step_size={1e-3: 0.2, 1e-6: 0.05,
+                                  1e-9: 0.0125}[tol], max_order=6)
+    start = time.time()
+    ys, stats = tde.odeint_with_stats(diffeq, y0, t, rtol=tol, atol=tol,
+                                      method=method, options=options)
+    ys = jax.block_until_ready(ys)
+    wall = time.time() - start
+    return ys[1], int(stats.nfe), wall, int(stats.error_code)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--parity', action='store_true',
+                        help='compare NFE/trajectories vs reference torchdiffeq')
+    parser.add_argument('--methods', nargs='+',
+                        default=['dopri5', 'fixed_adams'])
+    args = parser.parse_args()
+
+    names = list(detest.ALL_PROBLEMS)
+
+    truth = {}
+    for name in names:
+        truth[name], _, _, _ = solve(name, 'dopri5', 1e-12)
+
+    for method in args.methods:
+        for tol in [1e-3, 1e-6, 1e-9]:
+            print(f'======= {method} | tol={tol:e} =======')
+            nfes, times, errs = [], [], []
+            for name in names:
+                est, nfe, wall, err_code = solve(name, method, tol)
+                error = float(jnp.sqrt(jnp.mean(
+                    (truth[name] - est) ** 2)))
+                errs.append(error)
+                nfes.append(nfe)
+                times.append(wall)
+                flag = '' if err_code == 0 else f'  [err={err_code}]'
+                print(f'{name}: NFE {nfe} | Time {wall:.4f} | '
+                      f'Err {error:e}{flag}')
+            print(f'Total NFE {np.sum(nfes)} | Total Time '
+                  f'{np.sum(times):.3f} | GeomAvg Error {gmean(errs):e}')
+
+    if args.parity:
+        run_parity(names)
+
+
+def run_parity(names):
+    """Step-count + trajectory parity vs the reference at rtol=atol=1e-7."""
+    sys.path.insert(0, '/root/reference')
+    import torch
+    from torchdiffeq import odeint as torch_odeint
+    torch.set_default_dtype(torch.float64)
+
+    for method in ['dopri5', 'dopri8']:
+        print(f'======= parity vs torchdiffeq | {method} | 1e-7 =======')
+        ratios, diffs = [], []
+        for name in names:
+            if name == 'C5':
+                # the reference's C5 has a data typo + interaction-sign flip
+                # (see detest.py); trajectories are not comparable.
+                continue
+            est, nfe, _, _ = solve(name, method, 1e-7)
+
+            diffeq, init, _ = detest.ALL_PROBLEMS[name]()
+            t0, y0 = init()
+
+            class Counter:
+                def __init__(self):
+                    self.nfe = 0
+
+                def __call__(self, t, y):
+                    self.nfe += 1
+                    return torch.as_tensor(
+                        np.asarray(diffeq(jnp.asarray(float(t)),
+                                          jnp.asarray(y.numpy()))))
+
+            f = Counter()
+            tt = torch.tensor([float(t0), 20.0])
+            yt = torch_odeint(f, torch.as_tensor(np.asarray(y0)), tt,
+                              rtol=1e-7, atol=1e-7, method=method)
+            ratio = nfe / f.nfe
+            diff = float(np.max(np.abs(np.asarray(est) - yt[1].numpy())
+                                / (1e-8 + np.abs(yt[1].numpy()))))
+            ratios.append(ratio)
+            diffs.append(diff)
+            print(f'{name}: NFE ours {nfe} vs ref {f.nfe} '
+                  f'(ratio {ratio:.3f}) | max rel diff {diff:.2e}')
+        print(f'NFE ratio geomean {gmean(ratios):.4f} | '
+              f'worst trajectory diff {max(diffs):.2e}')
+
+
+if __name__ == '__main__':
+    main()
