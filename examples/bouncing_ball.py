@@ -1,0 +1,106 @@
+"""Bouncing ball with event handling — JAX re-authoring of reference
+examples/bouncing_ball.py.
+
+State is the tuple (pos, vel, log_radius) (reference :25-29); the event
+fires when the ball touches the ground (pos == radius, :31-34); after each
+event the velocity is reflected and damped with a small nudge off the
+ground (:40-47); bounces are chained with `odeint_event` (:49-71).  The
+gradient of each event time wrt the 5 physical parameters is checked with
+central finite differences (:103-151).
+
+Run:  python examples/bouncing_ball.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchdiffeq_tpu import odeint_event
+from torchdiffeq_tpu.adjoint import odeint_adjoint
+
+
+def dynamics(t, state, gravity):
+    pos, vel, log_radius = state
+    dpos = vel
+    dvel = -gravity * jnp.ones_like(vel)
+    dlog_radius = jnp.zeros_like(log_radius)
+    return (dpos, dvel, dlog_radius)
+
+
+def event_fn(t, state):
+    # positive before the bounce, zero at contact
+    pos, _, log_radius = state
+    return pos - jnp.exp(log_radius)
+
+
+def get_collision_times(pos0, vel0, log_radius0, gravity, t0, nbounces=3):
+    event_times = []
+    state = (pos0, vel0, log_radius0)
+    t = t0
+    for _ in range(nbounces):
+        event_t, solution = odeint_event(
+            lambda tt, s: dynamics(tt, s, gravity), state, t,
+            event_fn=event_fn, odeint_interface=odeint_adjoint,
+            atol=1e-8, rtol=1e-8)
+        event_times.append(event_t)
+        # instantaneous update: reflect + damp velocity, nudge off ground
+        pos, vel, log_radius = (s[-1] for s in solution)
+        pos = pos + 1e-7
+        vel = -0.8 * vel
+        state = (pos, vel, log_radius)
+        t = event_t
+    return event_times
+
+
+def analytic_first_bounce(pos0, vel0, radius, gravity):
+    # pos(t) = pos0 + vel0 t - g t^2 / 2 == radius
+    a, b, c = -gravity / 2, vel0, pos0 - radius
+    return (-b - np.sqrt(b * b - 4 * a * c)) / (2 * a)
+
+
+def main():
+    pos0 = jnp.asarray(10.0)
+    vel0 = jnp.asarray(-2.0)
+    log_radius0 = jnp.asarray(np.log(0.3))
+    gravity = jnp.asarray(9.8)
+    t0 = jnp.asarray(0.0)
+
+    times = get_collision_times(pos0, vel0, log_radius0, gravity, t0)
+    print("event times:", [float(t) for t in times])
+
+    t1_exact = analytic_first_bounce(10.0, -2.0, 0.3, 9.8)
+    print(f"first bounce: {float(times[0]):.8f} (exact {t1_exact:.8f})")
+    assert abs(float(times[0]) - t1_exact) < 1e-6
+
+    # --- gradient of the *last* event time wrt all parameters, checked by
+    # central finite differences (reference bouncing_ball.py:103-151) ------
+    def last_event_time(pos0, vel0, log_radius0, gravity, t0):
+        return get_collision_times(pos0, vel0, log_radius0, gravity, t0)[-1]
+
+    inputs = (pos0, vel0, log_radius0, gravity, t0)
+    grads = jax.grad(last_event_time, argnums=tuple(range(5)))(*inputs)
+
+    eps = 1e-5
+    names = ['pos0', 'vel0', 'log_radius0', 'gravity', 't0']
+    ok = True
+    for i, name in enumerate(names):
+        pert = [jnp.asarray(v) for v in inputs]
+        pert[i] = inputs[i] + eps
+        hi = float(last_event_time(*pert))
+        pert[i] = inputs[i] - eps
+        lo = float(last_event_time(*pert))
+        fd = (hi - lo) / (2 * eps)
+        match = abs(float(grads[i]) - fd) < 1e-3 * max(1.0, abs(fd))
+        ok &= match
+        print(f"d(event_t)/d{name}: autodiff {float(grads[i]):+.6f} "
+              f"fd {fd:+.6f} {'OK' if match else 'MISMATCH'}")
+    assert ok, "event-time gradient check failed"
+    print("all event-time gradients match finite differences")
+
+
+if __name__ == '__main__':
+    main()

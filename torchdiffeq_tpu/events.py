@@ -54,7 +54,7 @@ def combine_event_functions(event_fn, t0, y0):
     return combined_event_fn
 
 
-def _implicit_fn_gradient_rerouting(func, event_fn):
+def _implicit_fn_gradient_rerouting(func, event_fn, event_t_ex, state_t_ex):
     """Build the IFT gradient-rerouting op (reference
     `ImplicitFnGradientRerouting`, odeint.py:197-231).
 
@@ -65,25 +65,36 @@ def _implicit_fn_gradient_rerouting(func, event_fn):
         grad_state += dc/dy * (-grad_t_total / (dc/dt + 1e-12))
 
     so that d(event_t)/d(theta) flows through state_t's dependence on theta.
+
+    `func`/`event_fn` may close over traced values (e.g. parameters under
+    differentiation); they are closure-converted so the captured values
+    become explicit zero-gradient inputs of the custom_vjp — matching the
+    reference, where `f_val` and the event vjp are evaluated without
+    building a graph to the parameters (odeint.py:208-219).
     """
+    f_conv, f_consts = jax.closure_convert(func, event_t_ex, state_t_ex)
+    e_conv, e_consts = jax.closure_convert(event_fn, event_t_ex, state_t_ex)
+    f_consts, e_consts = tuple(f_consts), tuple(e_consts)
 
     @jax.custom_vjp
-    def reroute(event_t, state_t):
+    def reroute(event_t, state_t, f_consts, e_consts):
         return event_t, state_t
 
-    def fwd(event_t, state_t):
-        return ((jax.lax.stop_gradient(event_t), jax.lax.stop_gradient(state_t)),
-                (event_t, state_t))
+    def fwd(event_t, state_t, f_consts, e_consts):
+        return ((jax.lax.stop_gradient(event_t),
+                 jax.lax.stop_gradient(state_t)),
+                (event_t, state_t, f_consts, e_consts))
 
     def bwd(res, grads):
-        event_t, state_t = res
+        event_t, state_t, f_consts_, e_consts_ = res
         grad_t, grad_state = grads
         event_t = jax.lax.stop_gradient(event_t)
         state_t = jax.lax.stop_gradient(state_t)
 
-        f_val = func(event_t, state_t)
+        f_val = f_conv(event_t, state_t, *f_consts_)
 
-        c, vjp_fn = jax.vjp(event_fn, event_t, state_t)
+        c, vjp_fn = jax.vjp(
+            lambda tt, yy: e_conv(tt, yy, *e_consts_), event_t, state_t)
         par_dt, dstate = vjp_fn(jnp.ones_like(c))
 
         # Total derivative of event_fn wrt t at the event.
@@ -96,12 +107,20 @@ def _implicit_fn_gradient_rerouting(func, event_fn):
         dstate = dstate * (-grad_t_total / (dcdt + 1e-12))
         grad_state = grad_state + dstate
 
-        # The event time input receives no direct gradient (reference returns
+        # The event time receives no direct gradient (the reference returns
         # None for it); its sensitivity has been rerouted into the state.
-        return jnp.zeros_like(event_t), grad_state
+        # The captured constants get zero cotangents (reference semantics:
+        # no parameter gradient through the IFT evaluation itself).
+        zeros = lambda tree: jax.tree_util.tree_map(jnp.zeros_like, tree)
+        return (jnp.zeros_like(event_t), grad_state, zeros(f_consts_),
+                zeros(e_consts_))
 
     reroute.defvjp(fwd, bwd)
-    return reroute
+
+    def apply(event_t, state_t):
+        return reroute(event_t, state_t, f_consts, e_consts)
+
+    return apply
 
 
 def odeint_event(func, y0, t0, *, event_fn, reverse_time=False,
@@ -141,7 +160,7 @@ def odeint_event(func, y0, t0, *, event_fn, reverse_time=False,
         event_t = -event_t
 
     reroute = _implicit_fn_gradient_rerouting(
-        lambda tt, yy: prob.func(tt, yy), prob.event_fn)
+        lambda tt, yy: prob.func(tt, yy), prob.event_fn, event_t, state_t)
     event_t, state_t = reroute(event_t, state_t)
 
     # Return the user-expected time value.

@@ -161,10 +161,9 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
             lambda: func(t1, y1, perturb=Perturb.NEXT),
             lambda: f1)
 
-    coeff = jax.lax.cond(
-        accept,
-        lambda: _interp_fit_step(y0, y1, k, dt, tab),
-        lambda: c.coeff)
+    # branch-free select (a lax.cond here would constrain shard_map's
+    # varying-axes typing; the fit is ~10 fused vector ops)
+    coeff = jnp.where(accept, _interp_fit_step(y0, y1, k, dt, tab), c.coeff)
 
     t_next = jnp.where(accept, t1, t0)
     y_next = jnp.where(accept, y1, y0)
@@ -190,10 +189,12 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
         n_rej=c.n_rej + (~accept).astype(jnp.int32),
         steps_in_interval=c.steps_in_interval + 1)
 
-    # On a guard trip, freeze the state and record the error code.
-    return jax.lax.cond(err == OK,
-                        lambda: stepped,
-                        lambda: c._replace(err=err))
+    # On a guard trip, freeze the state and record the error code
+    # (tree-wise where keeps shard_map varying-axes types consistent).
+    ok = err == OK
+    frozen = c._replace(err=err)
+    return jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b),
+                                  stepped, frozen)
 
 
 def integrate(func, y0, ts, cfg: AdaptiveConfig):
