@@ -27,6 +27,10 @@ N_TIMED = 10
 
 def bench_jax():
     import jax
+    # TPU default matmul precision is bf16: at rtol=1e-7 that pollutes the
+    # embedded error estimate and inflates step counts ~30x. Full-f32
+    # matmuls make the numerical work identical to the torch baseline.
+    jax.config.update("jax_default_matmul_precision", "float32")
     import jax.numpy as jnp
     import torchdiffeq_tpu as tde
     from torchdiffeq_tpu.models import init_mlp, mlp_apply
