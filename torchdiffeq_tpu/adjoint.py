@@ -127,6 +127,14 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
         tt = jnp.asarray(tt).astype(_y_dtype)
         return conv(tt, yy, th[0], *th[1])
 
+    # forward any user callbacks through the conversion (check_inputs reads
+    # them as attributes, reference misc.py:313-343)
+    from .misc import _ALL_CALLBACK_NAMES, _ALL_ADJOINT_CALLBACK_NAMES
+    for _name in _ALL_CALLBACK_NAMES + _ALL_ADJOINT_CALLBACK_NAMES:
+        _cb = getattr(func, _name, None)
+        if _cb is not None:
+            setattr(pure_func, _name, _cb)
+
     user_state_norm = (options or {}).get('norm')
 
     # ======================================================================
@@ -163,6 +171,14 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
                                 s, y, theta_)
             vt_new, vy, vth = vjp_fn(-adj_y)
             return (vt_new.astype(vt.dtype), f, vy, vth)
+
+        # remap `*_adjoint` callbacks onto the backward solve (reference
+        # adjoint.py:108-114)
+        from .misc import _ALL_CALLBACK_NAMES
+        for _name in _ALL_CALLBACK_NAMES:
+            _cb = getattr(func, _name + '_adjoint', None)
+            if _cb is not None:
+                setattr(aug_dyn, _name, _cb)
 
         adj_opts = dict(adjoint_options)
         adj_opts['norm'] = _make_adjoint_norm(

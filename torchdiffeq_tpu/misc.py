@@ -25,6 +25,26 @@ import numpy as np
 from jax.flatten_util import ravel_pytree
 
 
+_ALL_CALLBACK_NAMES = ['callback_step', 'callback_accept_step',
+                       'callback_reject_step']
+_ALL_ADJOINT_CALLBACK_NAMES = [n + '_adjoint' for n in _ALL_CALLBACK_NAMES]
+# per solver kind (reference `valid_callbacks`, solvers.py:24-26,81-83,
+# rk_common.py:207-211)
+_VALID_CALLBACKS = {
+    'adaptive': {'callback_step', 'callback_accept_step',
+                 'callback_reject_step'},
+    'fixed': {'callback_step'},
+    'adams': {'callback_step'},
+    'firk': {'callback_step'},
+    'dirk': {'callback_step'},
+    'scipy': set(),
+}
+
+
+def _solver_kind(solvers, method):
+    return solvers[method].get('kind', '')
+
+
 class Perturb(enum.Enum):
     """Direction to perturb the evaluation time of the vector field.
 
@@ -257,6 +277,40 @@ def check_inputs(func, y0, t, rtol, atol, method, options, event_fn, solvers,
     # --- perturbation wrapper --------------------------------------------
     wrapped = PerturbedFunc(flat_func)
 
+    # --- callbacks ---------------------------------------------------------
+    # The reference attaches `callback_step` / `callback_accept_step` /
+    # `callback_reject_step` as attributes of `func` and invokes them inside
+    # the solve (misc.py:313-343).  Python cannot run inside a compiled
+    # while_loop, so present callbacks are re-wrapped through
+    # `jax.debug.callback` (fired per executed step) with arguments mapped
+    # back to the user frame: un-negated time and user-structured state.
+    callback_names = set()
+    for name in _ALL_CALLBACK_NAMES:
+        cb = getattr(func, name, None)
+        if cb is None:
+            setattr(wrapped, name, None)
+            continue
+        callback_names.add(name)
+
+        def fire(t0_, y0_flat_, dt_, _cb=cb):
+            def host(t0v, y0v, dtv):
+                _cb(t0v, unravel(jnp.asarray(y0v)), dtv)
+            jax.debug.callback(host, t_sign * t0_, y0_flat_, dt_)
+
+        setattr(wrapped, name, fire)
+    for name in _ALL_ADJOINT_CALLBACK_NAMES:
+        cb = getattr(func, name, None)
+        setattr(wrapped, name, cb)
+
+    valid = _VALID_CALLBACKS.get(_solver_kind(solvers, method), set())
+    invalid = callback_names - valid
+    if invalid:
+        import warnings
+        warnings.warn("Solver '{}' does not support callbacks {}".format(
+            method, sorted(invalid)))
+        for name in invalid:
+            setattr(wrapped, name, None)
+
     return NormalisedProblem(
         func=wrapped, y0=y0_flat, t=t, rtol=rtol, atol=atol, method=method,
         options=options, event_fn=flat_event_fn, t_sign=t_sign,
@@ -279,6 +333,14 @@ class PerturbedFunc:
     Mirrors ``_PerturbFunc`` (reference misc.py:174-197): the evaluation time
     is cast to the state dtype and optionally nudged by one ULP.
     """
+
+    # solver-visible callback slots (wired by check_inputs when present)
+    callback_step = None
+    callback_accept_step = None
+    callback_reject_step = None
+    callback_step_adjoint = None
+    callback_accept_step_adjoint = None
+    callback_reject_step_adjoint = None
 
     def __init__(self, base_func):
         self.base_func = base_func

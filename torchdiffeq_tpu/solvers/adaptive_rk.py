@@ -113,6 +113,9 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
     dt = jnp.where(jnp.isfinite(dt), dt, cfg.min_step)
     dt = jnp.clip(dt, cfg.min_step, cfg.max_step)
 
+    if getattr(func, 'callback_step', None) is not None:
+        func.callback_step(t0, y0, dt)  # reference rk_common.py:272
+
     # --- guards (reference asserts, rk_common.py:286-287 + solvers max) ----
     err = jnp.where(c.steps_in_interval >= cfg.max_num_steps,
                     ERR_MAX_NUM_STEPS, OK).astype(jnp.int32)
@@ -164,6 +167,15 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
     # branch-free select (a lax.cond here would constrain shard_map's
     # varying-axes typing; the fit is ~10 fused vector ops)
     coeff = jnp.where(accept, _interp_fit_step(y0, y1, k, dt, tab), c.coeff)
+
+    cb_acc = getattr(func, 'callback_accept_step', None)
+    cb_rej = getattr(func, 'callback_reject_step', None)
+    if cb_acc is not None or cb_rej is not None:
+        # fire exactly one of accept/reject per step (rk_common.py:339,354)
+        jax.lax.cond(
+            accept,
+            lambda: (cb_acc or (lambda *a: None))(t0, y0, dt),
+            lambda: (cb_rej or (lambda *a: None))(t0, y0, dt))
 
     t_next = jnp.where(accept, t1, t0)
     y_next = jnp.where(accept, y1, y0)

@@ -142,6 +142,8 @@ def integrate_fixed_grid(method: FixedStepMethod, func, y0, ts, grid, *,
         y0_, st = carry
         t0, t1 = pair
         dt = t1 - t0
+        if getattr(func, 'callback_step', None) is not None:
+            func.callback_step(t0, y0_, dt)  # reference solvers.py:113
         dy, f0, st = method.step(func, t0, dt, t1, y0_, perturb, st)
         y1 = y0_ + dy
         if cubic:
