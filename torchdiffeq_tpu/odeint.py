@@ -169,6 +169,20 @@ def _odeint_impl(func, y0, t, rtol, atol, method, options, event_fn, args,
         ys_flat, stats = _solve_normalised(prob)
         return _finalise(prob, ys_flat), stats
 
+    if (prob.event_fn is None and spec['kind'] == 'adaptive'
+            and prob.options.get('replay_grad', False)):
+        # exact discretise-then-optimise gradients (+ jvp / higher-order AD)
+        # by re-executing the recorded step sequence as a lax.scan
+        from .solvers import replay
+        opts = dict(prob.options)
+        opts.pop('replay_grad', None)
+        max_segments = opts.pop('max_segments', 256)
+        prob2 = prob._replace(options=opts)
+        cfg = _adaptive_config(prob2, spec['tableau'])
+        ys_flat, stats = replay.integrate_replay(
+            prob.func, prob.y0, prob.t, cfg, max_segments)
+        return _finalise(prob, ys_flat), stats
+
     # Adaptive methods and event solves: continuous-adjoint custom_vjp with
     # backward settings equal to the forward settings (see module docstring).
     from .adjoint import adjoint_solve

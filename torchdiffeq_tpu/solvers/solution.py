@@ -18,6 +18,7 @@ ERR_DT_UNDERFLOW = 1     # reference: `assert t0 + dt > t0` (rk_common.py:286)
 ERR_NONFINITE_STATE = 2  # reference: `assert torch.isfinite(y0).all()` (rk_common.py:287)
 ERR_MAX_NUM_STEPS = 3    # reference: `assert n_steps < max_num_steps` (rk_common.py:245)
 ERR_IMPLICIT_NO_CONVERGENCE = 4  # reference: warning (rk_common.py:461-462)
+ERR_SEGMENT_OVERFLOW = 5         # replay/dense recording buffer exhausted
 
 ERROR_MESSAGES = {
     OK: "success",
