@@ -209,12 +209,26 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
                                   stepped, frozen)
 
 
+# Above this output-buffer size (T * n elements), the per-step vectorised
+# emission would dominate; fall back to one-output-per-iteration emission.
+_SCATTER_EMIT_MAX_ELEMENTS = 1 << 22
+
+
 def integrate(func, y0, ts, cfg: AdaptiveConfig):
     """Integrate to every time in `ts` (increasing, shape (T,)).
 
     Returns (ys (T, n), Stats).  The equivalent of
     `AdaptiveStepsizeODESolver.integrate` (reference solvers.py:28-35) +
     `_advance` (rk_common.py:243-250), fused into one while_loop.
+
+    TPU-native emission: after every accepted step, ALL requested output
+    times falling inside (t0, t1] are written via a masked vectorised
+    interpolation — the loop trip count is exactly the number of solver
+    steps, with no emit iterations and no branch in the body (each loop
+    iteration costs ~tens of microseconds of dispatch on TPU, so trading
+    T iterations for O(T*n) fused vector work is a large win for dense
+    output grids).  For huge output buffers a per-output emission loop is
+    used instead.
     """
     ts = jnp.asarray(ts)
     t_dtype = ts.dtype
@@ -240,25 +254,50 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
         err=jnp.int32(OK))
 
-    def cond(c):
-        return (c.i_out < T) & (c.err == OK)
+    if T * n <= _SCATTER_EMIT_MAX_ELEMENTS:
+        t_end = ts[-1]
+        out_ids = jnp.arange(T)
 
-    def emit(c):
-        next_t = ts[c.i_out]
-        y = interp_evaluate(c.coeff, c.t0, c.t1, next_t)
-        return c._replace(out=c.out.at[c.i_out].set(y),
-                          i_out=c.i_out + 1,
-                          steps_in_interval=jnp.int32(0))
+        def cond(c):
+            return (c.t1 < t_end) & (c.err == OK)
 
-    def body(c):
-        next_t = ts[c.i_out]
-        return jax.lax.cond(
-            next_t > c.t1,
-            lambda cc: _adaptive_step(cc, func, cfg, step_t, jump_t, t_dtype),
-            emit,
-            c)
+        def body(c):
+            c2 = _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype)
+            # emit every output time first covered by this step
+            emit_mask = (ts > c2.t0) & (ts <= c2.t1)
+            vals = _interp_eval_vec(c2.coeff, c2.t0, c2.t1, ts)
+            out = jnp.where(emit_mask[:, None], vals, c2.out)
+            emitted_any = jnp.any(emit_mask)
+            return c2._replace(
+                out=out,
+                i_out=c2.i_out + jnp.sum(emit_mask).astype(jnp.int32),
+                # max_num_steps bounds steps per output interval
+                # (reference `_advance`, rk_common.py:243-247)
+                steps_in_interval=jnp.where(emitted_any, 0,
+                                            c2.steps_in_interval))
 
-    carry = jax.lax.while_loop(cond, body, carry)
+        carry = jax.lax.while_loop(cond, body, carry)
+    else:
+        def cond(c):
+            return (c.i_out < T) & (c.err == OK)
+
+        def emit(c):
+            next_t = ts[c.i_out]
+            y = interp_evaluate(c.coeff, c.t0, c.t1, next_t)
+            return c._replace(out=c.out.at[c.i_out].set(y),
+                              i_out=c.i_out + 1,
+                              steps_in_interval=jnp.int32(0))
+
+        def body(c):
+            next_t = ts[c.i_out]
+            return jax.lax.cond(
+                next_t > c.t1,
+                lambda cc: _adaptive_step(cc, func, cfg, step_t, jump_t,
+                                          t_dtype),
+                emit,
+                c)
+
+        carry = jax.lax.while_loop(cond, body, carry)
 
     # On failure, poison the unwritten tail of the buffer so downstream
     # consumers can't silently use stale zeros.
@@ -270,6 +309,19 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
                        n_accepted=carry.n_acc, n_rejected=carry.n_rej,
                        error_code=carry.err)
     return ys, stats
+
+
+def _interp_eval_vec(coeff, t0, t1, ts):
+    """Vectorised interpolant evaluation at all output times with a
+    zero-width guard (rejected steps have t1 == t0)."""
+    denom = jnp.where(t1 > t0, t1 - t0, jnp.ones_like(t1))
+    x = ((ts - t0) / denom).astype(coeff.dtype)
+    total = coeff[0][None] + x[:, None] * coeff[1][None]
+    x_power = x
+    for i in range(2, coeff.shape[0]):
+        x_power = x_power * x
+        total = total + x_power[:, None] * coeff[i][None]
+    return total
 
 
 def integrate_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig):
