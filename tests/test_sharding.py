@@ -93,3 +93,18 @@ def test_shard_params_annotation():
     sharded = shard_params(params, mesh, 'model', min_size=1024)
     spec = sharded[0]['w'].sharding.spec
     assert spec == P(None, 'model')
+
+
+def test_per_sample_controller_stats():
+    """Per-sample controllers: the stiff sample takes more steps than the
+    easy one — impossible with the reference's shared batch norm."""
+    from torchdiffeq_tpu.parallel import odeint_per_sample_with_stats
+
+    def f(t, y):
+        return -y * y[..., :1] ** 2  # stiffness scales with y[0]
+
+    y0 = jnp.stack([jnp.full((2,), 0.5), jnp.full((2,), 30.0)])
+    t = jnp.linspace(0., 1., 2)
+    ys, stats = odeint_per_sample_with_stats(f, y0, t, rtol=1e-6, atol=1e-8)
+    assert ys.shape == (2, 2, 2)
+    assert int(stats.n_steps[1]) > int(stats.n_steps[0])

@@ -80,6 +80,16 @@ def nextafter_down(t):
     return _nextafter(t, t - 1)
 
 
+def real_dtype(dtype):
+    """The real floating dtype corresponding to `dtype` (timelike values for
+    complex state live in the matching real dtype — reference
+    `y0.abs().dtype`, rk_common.py:63)."""
+    dtype = jnp.dtype(dtype)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        return jnp.finfo(dtype).dtype
+    return dtype
+
+
 def time_dtype_like(default=None):
     """The dtype used for 'timelike' quantities (t, dt, tolerances)."""
     if default is not None:
@@ -350,7 +360,7 @@ class PerturbedFunc:
         t = jnp.asarray(t)
         if jnp.issubdtype(t.dtype, jnp.complexfloating):
             t = t.real
-        t = t.astype(jnp.asarray(y).dtype)
+        t = t.astype(real_dtype(jnp.asarray(y).dtype))
         if perturb is Perturb.NEXT:
             t = nextafter_up(t)
         elif perturb is Perturb.PREV:

@@ -49,10 +49,11 @@ def runge_kutta_step(func, y0, f0, t0, dt, t1, tableau: ButcherTableau):
     Returns:
         (y1, f1, y1_error, k) where k is (s, n) stacked stage slopes.
     """
-    y_dtype = y0.dtype
-    t0 = jnp.asarray(t0).astype(y_dtype)
-    dt = jnp.asarray(dt).astype(y_dtype)
-    t1 = jnp.asarray(t1).astype(y_dtype)
+    from ..misc import real_dtype
+    t_dtype = real_dtype(y0.dtype)
+    t0 = jnp.asarray(t0).astype(t_dtype)
+    dt = jnp.asarray(dt).astype(t_dtype)
+    t1 = jnp.asarray(t1).astype(t_dtype)
 
     k = [f0]
     yi = y0

@@ -18,7 +18,8 @@ def select_initial_step(func, t0, y0, order, rtol, atol, norm, f0):
     `order` here is `solver_order - 1`, matching the reference call site
     (rk_common.py:219).  Costs one extra vector-field evaluation.
     """
-    dtype = y0.dtype
+    from ..misc import real_dtype
+    dtype = real_dtype(y0.dtype)
     t_dtype = jnp.asarray(t0).dtype
 
     scale = atol + jnp.abs(y0) * rtol
