@@ -247,3 +247,14 @@ def test_odeint_under_jit_traced_t():
     assert abs(float(ys[-1, 0]) - np.exp(-2)) < 1e-7
     ys_rev = solve(jnp.array([np.exp(-2.0)]), jnp.linspace(2., 0., 5))
     assert abs(float(ys_rev[-1, 0]) - 1.0) < 1e-6
+
+
+def test_pi_controller():
+    """PI controller solves correctly with (near-)zero rejections
+    (Gustafsson-style; reference only has the I-controller)."""
+    f, y0, t_points, sol = construct_problem(ode='linear')
+    ys_i, s_i = tde.odeint_with_stats(f, y0, t_points, method='bosh3')
+    ys_pi, s_pi = tde.odeint_with_stats(f, y0, t_points, method='bosh3',
+                                        options=dict(controller='pi'))
+    assert int(s_pi.n_rejected) < int(s_i.n_rejected)
+    assert rel_error(sol, ys_pi) < 4e-3

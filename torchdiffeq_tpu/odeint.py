@@ -44,7 +44,9 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
     opts.pop('dtype', None)  # consumed by check_inputs (time dtype)
     _warn_unused('adaptive solver', opts,
                  {'first_step', 'step_t', 'jump_t', 'safety', 'ifactor',
-                  'dfactor', 'min_step', 'max_step', 'max_num_steps'})
+                  'dfactor', 'min_step', 'max_step', 'max_num_steps',
+                  'controller', 'pcoeff', 'icoeff', 'replay_grad',
+                  'max_segments'})
     return adaptive_rk.AdaptiveConfig(
         tableau=tableau, rtol=prob.rtol, atol=prob.atol, norm=prob.norm,
         first_step=opts.get('first_step'),
@@ -54,7 +56,10 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
         dfactor=opts.get('dfactor', 0.2),
         min_step=opts.get('min_step', 0.0),
         max_step=opts.get('max_step', float('inf')),
-        max_num_steps=opts.get('max_num_steps', 2 ** 31 - 1))
+        max_num_steps=opts.get('max_num_steps', 2 ** 31 - 1),
+        controller=opts.get('controller', 'i'),
+        pcoeff=opts.get('pcoeff', 0.4),
+        icoeff=opts.get('icoeff', 0.7))
 
 
 def _solve_normalised(prob: NormalisedProblem):

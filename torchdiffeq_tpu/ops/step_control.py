@@ -72,3 +72,29 @@ def optimal_step_size(last_step, error_ratio, safety, ifactor, dfactor, order):
                          jnp.maximum(safety / safe_ratio ** exponent, dfactor))
     factor = jnp.where(zero_err, ifactor, factor)
     return last_step * factor
+
+
+def optimal_step_size_pi(last_step, error_ratio, prev_error_ratio, safety,
+                         ifactor, dfactor, order, pcoeff=0.4, icoeff=0.7):
+    """Proportional-integral step update (Gustafsson / Söderlind; the
+    standard PI.4.2-style controller used by modern solver suites; the
+    reference only implements the I-controller above):
+
+        factor = safety * ratio^(-icoeff/order) * prev_ratio^(pcoeff/order)
+
+    clamped to [dfactor, ifactor].  Damps the accept/reject oscillation of
+    the I-controller on mildly stiff problems — typically fewer rejected
+    steps at the same accuracy.
+    """
+    t_dtype = jnp.asarray(last_step).dtype
+    err = jnp.maximum(jnp.asarray(error_ratio).astype(t_dtype),
+                      jnp.finfo(t_dtype).tiny)
+    prev = jnp.maximum(jnp.asarray(prev_error_ratio).astype(t_dtype),
+                       jnp.finfo(t_dtype).tiny)
+    ki = jnp.asarray(icoeff / order, dtype=t_dtype)
+    kp = jnp.asarray(pcoeff / order, dtype=t_dtype)
+    factor = safety * err ** (-ki) * prev ** kp
+    factor = jnp.clip(factor, dfactor, ifactor)
+    zero_err = jnp.asarray(error_ratio) == 0
+    factor = jnp.where(zero_err, ifactor, factor)
+    return last_step * factor

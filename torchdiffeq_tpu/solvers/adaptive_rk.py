@@ -5,9 +5,10 @@ torchdiffeq/_impl/rk_common.py:161-369).  The reference interleaves a Python
 ``while`` per output time with host-side branching; XLA punishes that, so
 here the *entire* solve — stepping, accept/reject, ``step_t``/``jump_t``
 truncation, and output emission via the 4th-order interpolant — is one
-compiled ``while_loop`` over a fixed-shape carry.  Each loop iteration either
-(a) emits the next requested output time from the current step's interpolant,
-or (b) takes one adaptive step; ``lax.cond`` selects between them.
+compiled ``while_loop`` over a fixed-shape carry.  The loop body is
+branch-free: each iteration takes one adaptive step and scatter-emits every
+requested output time the step covered (see `integrate`), so the trip count
+equals the number of solver steps.
 
 Numerical semantics (controller constants, FSAL, perturbation rules, the
 mixed time/state precision contract) exactly mirror the reference; the
@@ -26,7 +27,7 @@ from ..misc import Perturb
 from ..ops.interp import interp_fit, interp_evaluate
 from ..ops.rk_step import runge_kutta_step, weighted_sum
 from ..ops.step_control import (select_initial_step, compute_error_ratio,
-                                optimal_step_size)
+                                optimal_step_size, optimal_step_size_pi)
 from ..ops.tableaus import ButcherTableau
 from .solution import (Stats, OK, ERR_DT_UNDERFLOW, ERR_NONFINITE_STATE,
                        ERR_MAX_NUM_STEPS)
@@ -53,6 +54,7 @@ class _Carry(NamedTuple):
     steps_in_interval: jnp.ndarray  # reset at each emission (reference
                                     # counts max_num_steps per `_advance`)
     err: jnp.ndarray
+    prev_ratio: jnp.ndarray         # last accepted error ratio (PI controller)
 
 
 class AdaptiveConfig(NamedTuple):
@@ -69,6 +71,9 @@ class AdaptiveConfig(NamedTuple):
     min_step: float = 0.0
     max_step: float = float('inf')
     max_num_steps: int = 2 ** 31 - 1
+    controller: str = 'i'    # 'i' (reference parity) or 'pi'
+    pcoeff: float = 0.4
+    icoeff: float = 0.7
 
 
 def _setup(func, y0, t0, cfg: AdaptiveConfig, t_dtype):
@@ -180,8 +185,17 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
     t_next = jnp.where(accept, t1, t0)
     y_next = jnp.where(accept, y1, y0)
     f_next = jnp.where(accept, f1, f0)
-    dt_next = optimal_step_size(dt, error_ratio, cfg.safety, cfg.ifactor,
-                                cfg.dfactor, tab.order)
+    if cfg.controller == 'pi':
+        dt_next = optimal_step_size_pi(dt, error_ratio, c.prev_ratio,
+                                       cfg.safety, cfg.ifactor, cfg.dfactor,
+                                       tab.order, cfg.pcoeff, cfg.icoeff)
+        prev_ratio = jnp.where(accept,
+                               jnp.asarray(error_ratio).astype(c.prev_ratio.dtype),
+                               c.prev_ratio)
+    else:
+        dt_next = optimal_step_size(dt, error_ratio, cfg.safety, cfg.ifactor,
+                                    cfg.dfactor, tab.order)
+        prev_ratio = c.prev_ratio
     dt_next = jnp.clip(dt_next, cfg.min_step, cfg.max_step)
 
     step_idx, jump_idx = c.step_idx, c.jump_idx
@@ -194,6 +208,7 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
 
     stepped = c._replace(
         y1=y_next, f1=f_next, t0=t0, t1=t_next, dt=dt_next, coeff=coeff,
+        prev_ratio=prev_ratio,
         step_idx=step_idx, jump_idx=jump_idx,
         nfe=c.nfe + nfe + jump_reeval.astype(jnp.int32),
         n_steps=c.n_steps + 1,
@@ -252,7 +267,7 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
         i_out=jnp.int32(1), out=out, step_idx=step_idx, jump_idx=jump_idx,
         nfe=jnp.int32(nfe0), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
-        err=jnp.int32(OK))
+        err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=t_dtype))
 
     if T * n <= _SCATTER_EMIT_MAX_ELEMENTS:
         t_end = ts[-1]
@@ -357,7 +372,7 @@ def integrate_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig):
         step_idx=step_idx, jump_idx=jump_idx,
         nfe=jnp.int32(nfe0), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
-        err=jnp.int32(OK))
+        err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=t_dtype))
 
     def cond(c):
         same_sign = jnp.sign(event_fn(c.t1, c.y1)) == sign0
