@@ -143,3 +143,21 @@ def test_args_passthrough():
     # y' = -y + 0.5 -> y(t) = 0.5 + 0.5 e^-t
     np.testing.assert_allclose(float(ys[-1, 0]), 0.5 + 0.5 * np.exp(-1),
                                rtol=1e-8)
+
+
+def test_non_monotonic_t_raises():
+    f = lambda t, y: -y
+    with pytest.raises(ValueError):
+        tde.odeint(f, jnp.array([1.0]), jnp.array([0.0, 2.0, 1.0]))
+
+
+def test_stats_raise_if_error():
+    fb = lambda t, y: y ** 3
+    ys, stats = tde.odeint_with_stats(fb, jnp.array([5.0]),
+                                      jnp.linspace(0., 5., 3),
+                                      options=dict(max_num_steps=2000))
+    with pytest.raises(RuntimeError):
+        stats.raise_if_error()
+    ys, stats = tde.odeint_with_stats(lambda t, y: -y, jnp.array([1.0]),
+                                      jnp.linspace(0., 1., 3))
+    stats.raise_if_error()  # no-op on success

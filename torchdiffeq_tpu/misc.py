@@ -249,6 +249,7 @@ def check_inputs(func, y0, t, rtol, atol, method, options, event_fn, solvers,
     t = jnp.asarray(t)
     if t.ndim != 1:
         raise ValueError("t must be one dimensional")
+    _check_monotonic(t)
     tdt = time_dtype_like(options.get('dtype'))
     t = t.astype(tdt)
 
@@ -326,6 +327,20 @@ def check_inputs(func, y0, t, rtol, atol, method, options, event_fn, solvers,
         options=options, event_fn=flat_event_fn, t_sign=t_sign,
         unravel=unravel, norm=norm, single_array_state=single_array,
         state_shape=state_shape)
+
+
+def _check_monotonic(t):
+    """Strict monotonicity check (reference `_check_timelike`,
+    misc.py:376-383) — only enforceable for concrete (non-traced) `t`."""
+    try:
+        t_np = np.asarray(t)
+    except Exception:
+        return  # traced under jit: monotonicity is the caller's contract
+    if t_np.shape[0] > 1:
+        diff = np.diff(t_np)
+        if not (np.all(diff > 0) or np.all(diff < 0)):
+            raise ValueError(
+                "t must be strictly increasing or decreasing")
 
 
 def time_sign(t):

@@ -44,3 +44,14 @@ class Stats(NamedTuple):
         i32 = lambda v: jnp.asarray(v, dtype=jnp.int32)
         return Stats(i32(nfe), i32(n_steps), i32(n_accepted), i32(n_rejected),
                      i32(error_code))
+
+    def raise_if_error(self):
+        """Host-side check (blocks on the device value): raise on a nonzero
+        error code — the eager-mode equivalent of the reference's asserts
+        (rk_common.py:286-287).  Do not call inside jit."""
+        code = int(self.error_code)
+        if code != OK:
+            raise RuntimeError(
+                f"ODE solve failed: {ERROR_MESSAGES.get(code, code)} "
+                f"(error_code={code}, after {int(self.n_steps)} steps)")
+        return self
