@@ -79,6 +79,7 @@ def bench_jax():
     with jax.default_device(cpu):
         g = jax.jit(jax.grad(counted_loss))(params)
         jax.block_until_ready(g)
+    jax.effects_barrier()  # drain pending debug callbacks before reading
     nfe_per_step = count[0]
 
     # warm up (compile)

@@ -22,7 +22,9 @@ def find_event(interp_fn, sign0, t0, t1, event_fn, tol):
     `no_grad` too).  The final interpolant evaluation IS differentiable,
     exactly as in the reference.
     """
-    tol = jnp.asarray(tol, dtype=jnp.asarray(t0).dtype)
+    # per-leaf tolerance vectors collapse to their max (the bisection count
+    # must be a scalar)
+    tol = jnp.max(jnp.asarray(tol)).astype(jnp.asarray(t0).dtype)
     span = jax.lax.stop_gradient(t1 - t0)
     nitrs = jnp.ceil(jnp.log2(jnp.maximum(span / tol, 1.0))).astype(jnp.int32)
 
