@@ -1,0 +1,137 @@
+"""TPU performance characterisation sweep.
+
+Run on the TPU (no platform pinning):  python benchmarks/sweep.py
+Writes benchmarks/PERF.md with wall-clock / throughput across regimes:
+forward solves vs batch, MXU-heavy fields, gradient paths (continuous
+adjoint vs replay vs fixed-grid backprop), and the Pallas fused kernel.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_default_matmul_precision", "float32")
+
+import torchdiffeq_tpu as tde
+from torchdiffeq_tpu.adjoint import odeint_adjoint
+from torchdiffeq_tpu.models import init_mlp, mlp_apply
+
+
+def timeit(fn, *args, n=10):
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    lines = [
+        "# TPU performance sweep (%s)" % jax.devices()[0].device_kind,
+        "",
+        "All at rtol=1e-7/atol=1e-9, f32 state, full-f32 matmuls, dopri5",
+        "unless noted.  VF evals/s counts one batched VF application as",
+        "`batch` evals.",
+        "",
+    ]
+
+    # --- forward solve vs batch (tiny spiral field) -----------------------
+    lines += ["## Forward solve, 2-D cubic field, T=10 outputs", "",
+              "| batch | wall (ms) | NFE | VF evals/s |", "|---|---|---|---|"]
+    params = init_mlp(jax.random.PRNGKey(0), [2, 64, 2], scale=0.1,
+                      dtype=jnp.float32)
+    field = lambda tt, yy, p: mlp_apply(p, yy ** 3)
+    t = jnp.linspace(0.0, 1.0, 10, dtype=jnp.float32)
+    for B in [256, 4096, 65536]:
+        y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 2), jnp.float32)
+        fwd = jax.jit(lambda y0: tde.odeint(field, y0, t, rtol=1e-7,
+                                            atol=1e-9, args=(params,)))
+        dt = timeit(fwd, y0, n=20)
+        _, s = tde.odeint_with_stats(field, y0, t, rtol=1e-7, atol=1e-9,
+                                     args=(params,))
+        nfe = int(s.nfe)
+        lines.append(f"| {B} | {dt*1e3:.2f} | {nfe} | {nfe*B/dt:,.0f} |")
+
+    # --- MXU-heavy field ---------------------------------------------------
+    lines += ["", "## Forward solve, 256-d state, 1024-wide MLP field", "",
+              "| batch | wall (ms) | TFLOP/s |", "|---|---|---|"]
+    p3 = init_mlp(jax.random.PRNGKey(0), [256, 1024, 256], scale=0.01,
+                  dtype=jnp.float32)
+    f3 = lambda tt, yy, p: mlp_apply(p, jnp.tanh(yy))
+    for B in [256, 4096]:
+        y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 256),
+                               jnp.float32) * 0.1
+        fwd = jax.jit(lambda y0: tde.odeint(f3, y0, t, rtol=1e-5, atol=1e-7,
+                                            args=(p3,)))
+        dt = timeit(fwd, y0)
+        _, s = tde.odeint_with_stats(f3, y0, t, rtol=1e-5, atol=1e-7,
+                                     args=(p3,))
+        flops = int(s.nfe) * B * 2 * (256 * 1024 * 2)
+        lines.append(f"| {B} | {dt*1e3:.2f} | {flops/dt/1e12:.2f} |")
+
+    # --- gradient paths ----------------------------------------------------
+    lines += ["", "## Gradient paths, batch 1024, 2-D cubic field, T=10", "",
+              "| path | wall (ms) |", "|---|---|"]
+    B = 1024
+    y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 2), jnp.float32)
+
+    def loss_adj(p):
+        ys = odeint_adjoint(field, y0, t, rtol=1e-7, atol=1e-9, args=(p,))
+        return jnp.mean(ys ** 2)
+
+    def loss_replay(p):
+        ys = tde.odeint(field, y0, t, rtol=1e-7, atol=1e-9, args=(p,),
+                        options=dict(replay_grad=True, max_segments=64))
+        return jnp.mean(ys ** 2)
+
+    rk4_grid = jnp.linspace(0.0, 1.0, 11, dtype=jnp.float32)
+
+    def loss_rk4(p):
+        ys = tde.odeint(field, y0, t, method='rk4', args=(p,),
+                        options=dict(grid_constructor=lambda f, y, tt: rk4_grid))
+        return jnp.mean(ys ** 2)
+
+    for name, loss in [("continuous adjoint (dopri5)", loss_adj),
+                       ("replay discrete grads (dopri5)", loss_replay),
+                       ("scan backprop (rk4, h=0.1)", loss_rk4)]:
+        g = jax.jit(jax.grad(loss))
+        dt = timeit(g, params)
+        lines.append(f"| {name} | {dt*1e3:.2f} |")
+
+    # --- pallas fused kernel ------------------------------------------------
+    lines += ["", "## Fused Pallas RK4 vs lax.scan (10k steps, (2,B) layout)",
+              "", "| batch | scan (ms) | pallas (ms) |", "|---|---|---|"]
+    from torchdiffeq_tpu.ops.pallas_kernels import (rk4_integrate,
+                                                    _rk4_step_inline)
+    A = jnp.array([[-0.1, 2.0], [-2.0, -0.1]], jnp.float32)
+    fieldT = lambda tt, yy, A_: A_.T @ (yy ** 3)
+    STEPS, dt_step = 10000, 1e-4
+    for B in [1024, 8192]:
+        y0T = jax.random.normal(jax.random.PRNGKey(1), (2, B), jnp.float32)
+
+        def scanv(y0T):
+            def body(y, i):
+                return _rk4_step_inline(fieldT, i.astype(jnp.float32) * dt_step,
+                                        dt_step, y, (A,)), None
+            y, _ = jax.lax.scan(body, y0T, jnp.arange(STEPS))
+            return y
+        t_scan = timeit(jax.jit(scanv), y0T, n=5)
+        t_pal = timeit(jax.jit(lambda y: rk4_integrate(fieldT, y, 0.0,
+                                                       dt_step, STEPS, (A,))),
+                       y0T, n=5)
+        lines.append(f"| {B} | {t_scan*1e3:.2f} | {t_pal*1e3:.2f} |")
+
+    out = "\n".join(lines) + "\n"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PERF.md")
+    with open(path, "w") as fh:
+        fh.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

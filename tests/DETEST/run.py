@@ -97,7 +97,7 @@ def run_parity(names):
     from torchdiffeq import odeint as torch_odeint
     torch.set_default_dtype(torch.float64)
 
-    for method in ['dopri5', 'dopri8']:
+    for method in ['dopri5', 'dopri8', 'tsit5', 'bosh3', 'fehlberg2', 'adaptive_heun']:
         print(f'======= parity vs torchdiffeq | {method} | 1e-7 =======')
         ratios, diffs = [], []
         for name in names:

@@ -77,14 +77,15 @@ def _solve_normalised(prob: NormalisedProblem):
         opts = dict(prob.options)
         _warn_unused('fixed-grid solver', opts,
                      {'step_size', 'grid_constructor', 'perturb', 'interp',
-                      'dtype'})
+                      'dtype', 'remat'})
         grid = fixed_grid.construct_grid(
             prob.func, prob.y0, prob.t, opts.get('step_size'),
             opts.get('grid_constructor'))
         return fixed_grid.integrate_fixed_grid(
             spec['method'], prob.func, prob.y0, prob.t, grid,
             interp=opts.get('interp', 'linear'),
-            perturb=opts.get('perturb', False))
+            perturb=opts.get('perturb', False),
+            remat=opts.get('remat', False))
     elif kind == 'adams':
         from .solvers import adams
         return adams.integrate_adams(prob, implicit=spec['implicit'])

@@ -125,10 +125,15 @@ def construct_grid(func, y0, t, step_size, grid_constructor):
 
 
 def integrate_fixed_grid(method: FixedStepMethod, func, y0, ts, grid, *,
-                         interp="linear", perturb=False):
+                         interp="linear", perturb=False, remat=False):
     """Sweep `grid` with `method` and interpolate the solution at `ts`.
 
     Returns (ys (T, n), Stats).
+
+    remat=True wraps each step in `jax.checkpoint`: the backward pass
+    recomputes the step's internal stages instead of storing them, cutting
+    training memory from O(steps * stages * n) to O(steps * n) at ~1.3x
+    the backward FLOPs (a TPU-native trade — HBM for MXU cycles).
     """
     if interp not in ("linear", "cubic"):
         raise ValueError(f"Unknown interpolation method {interp}")
@@ -155,7 +160,8 @@ def integrate_fixed_grid(method: FixedStepMethod, func, y0, ts, grid, *,
         return (y1, st), (y1, f0, f1)
 
     pairs = jnp.stack([grid[:-1], grid[1:]], axis=1)
-    _, (ys_tail, f0s, f1s) = jax.lax.scan(scan_body, (y0, state0), pairs)
+    body = jax.checkpoint(scan_body) if remat else scan_body
+    _, (ys_tail, f0s, f1s) = jax.lax.scan(body, (y0, state0), pairs)
     ys_grid = jnp.concatenate([y0[None], ys_tail], axis=0)  # (G, n)
 
     # Vectorised emission: t_j lives in grid interval [grid[i1-1], grid[i1]]
