@@ -76,11 +76,11 @@ def _solve_normalised(prob: NormalisedProblem):
     elif kind == 'fixed':
         opts = dict(prob.options)
         _warn_unused('fixed-grid solver', opts,
-                     {'step_size', 'grid_constructor', 'perturb', 'interp',
-                      'dtype', 'remat'})
+                     {'step_size', 'grid_constructor', 'num_steps',
+                      'perturb', 'interp', 'dtype', 'remat'})
         grid = fixed_grid.construct_grid(
             prob.func, prob.y0, prob.t, opts.get('step_size'),
-            opts.get('grid_constructor'))
+            opts.get('grid_constructor'), opts.get('num_steps'))
         return fixed_grid.integrate_fixed_grid(
             spec['method'], prob.func, prob.y0, prob.t, grid,
             interp=opts.get('interp', 'linear'),

@@ -133,11 +133,12 @@ def integrate_adams(prob, implicit):
     from ..odeint import _warn_unused
     opts = dict(prob.options)
     _warn_unused('Adams solver', opts,
-                 {'step_size', 'grid_constructor', 'perturb', 'interp',
-                  'implicit', 'max_iters', 'max_order', 'dtype'})
+                 {'step_size', 'grid_constructor', 'num_steps', 'perturb',
+                  'interp', 'implicit', 'max_iters', 'max_order', 'dtype'})
     method = make_fixed_step_method(prob, implicit)
     grid = construct_grid(prob.func, prob.y0, prob.t, opts.get('step_size'),
-                          opts.get('grid_constructor'))
+                          opts.get('grid_constructor'),
+                          opts.get('num_steps'))
     return integrate_fixed_grid(method, prob.func, prob.y0, prob.t, grid,
                                 interp=opts.get('interp', 'linear'),
                                 perturb=opts.get('perturb', False))

@@ -97,14 +97,23 @@ FIXED_STEP_METHODS = {
 }
 
 
-def construct_grid(func, y0, t, step_size, grid_constructor):
+def construct_grid(func, y0, t, step_size, grid_constructor, num_steps=None):
     """Build the integration grid (reference solvers.py:70-96).
 
     `step_size` grids have a data-dependent length, so they require concrete
-    (non-traced) `t` — grid *shape* must be static under XLA.
+    (non-traced) `t` — grid *shape* must be static under XLA.  The
+    trace-friendly alternative is ``num_steps`` (a static int): the grid is
+    `num_steps + 1` points spread uniformly over [t[0], t[-1]], computable
+    from traced endpoints.
     """
-    if step_size is not None and grid_constructor is not None:
-        raise ValueError("step_size and grid_constructor are mutually exclusive arguments.")
+    if sum(x is not None for x in (step_size, grid_constructor,
+                                   num_steps)) > 1:
+        raise ValueError("step_size, grid_constructor and num_steps are "
+                         "mutually exclusive arguments.")
+    if num_steps is not None:
+        t = jnp.asarray(t)
+        frac = jnp.linspace(0.0, 1.0, int(num_steps) + 1, dtype=t.dtype)
+        return t[0] + (t[-1] - t[0]) * frac
     if step_size is None:
         if grid_constructor is None:
             return t
@@ -115,8 +124,9 @@ def construct_grid(func, y0, t, step_size, grid_constructor):
         raise ValueError(
             "options['step_size'] requires concrete (non-traced) integration "
             "times, because the number of solver steps sets a static array "
-            "shape under XLA. Pass t outside of jit, or supply a "
-            "grid_constructor returning a fixed-size grid.") from None
+            "shape under XLA (note: jit lifts even closed-over constants to "
+            "tracers). Use options['num_steps'] (static int) or a "
+            "grid_constructor returning a fixed-size grid instead.") from None
     start_time, end_time = t_np[0], t_np[-1]
     niters = int(np.ceil((end_time - start_time) / step_size + 1))
     t_infer = np.arange(0, niters, dtype=np.float64) * np.float64(step_size) + start_time
