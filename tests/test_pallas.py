@@ -41,3 +41,26 @@ def test_rk4_integrate_mlp_field():
     y = rk4_integrate(field, y0, 0.0, 1e-2, 50, (w1, w2), interpret=True)
     assert y.shape == (16, 4)
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_dopri5_batched_per_lane():
+    """Fused adaptive dopri5 with per-lane controllers (interpret mode):
+    heterogeneous stiffness, each lane accurate to tolerance, stiffer lanes
+    take more steps."""
+    from torchdiffeq_tpu.ops.pallas_kernels import dopri5_integrate_batched
+
+    B = 256
+    ks = jnp.concatenate([jnp.full((1, B // 2), 1.0),
+                          jnp.full((1, B // 2), 40.0)], axis=1)
+    y0 = jnp.ones((1, B), jnp.float32)
+
+    def field(t, y, k):
+        return -k * y
+
+    y, acc, stp = dopri5_integrate_batched(field, y0, 0.0, 1.0,
+                                           rtol=1e-4, atol=1e-6,
+                                           params=(ks,), interpret=True)
+    exact = np.exp(-np.asarray(ks[0]))
+    np.testing.assert_allclose(np.asarray(y[0]), exact, atol=5e-5)
+    # per-lane adaptivity: the stiff half takes more steps
+    assert int(stp[0, -1]) > int(stp[0, 0])

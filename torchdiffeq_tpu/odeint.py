@@ -15,7 +15,9 @@ TPU-native rebuild of torchdiffeq/_impl/odeint.py:49-108.  Differences:
     - adaptive RK (and all event solves): `custom_vjp` continuous adjoint at
       the same method/tolerances (a `lax.while_loop` is not
       reverse-differentiable; the continuous adjoint is accurate to solver
-      tolerance).  Use `odeint_adjoint` to control the backward solve.
+      tolerance).  Use `odeint_adjoint` to control the backward solve, or
+      `options=dict(replay_grad=True)` for exact discretise-then-optimise
+      gradients (+ forward-mode and higher-order AD) via step replay.
 * `odeint_with_stats` additionally returns solver telemetry (NFE, step and
   accept/reject counts, error code) — the compiled-loop replacement for the
   reference's callback system and `nfe` counter convention.

@@ -67,12 +67,42 @@ def _broyden(residual, x0, aux, tol, max_iters):
     return x, converged
 
 
-def _make_root_solver(residual, tol, max_iters):
+def _newton(residual, x0, aux, tol, max_iters):
+    """Newton's method with the exact Jacobian via `jax.jacfwd`: quadratic
+    convergence (typically 3-5 iterations vs Broyden's 10-20), at one
+    m-wide fwd-mode Jacobian per iteration — usually the better trade on
+    TPU, where the extra Jacobian FLOPs are batched matmul work while
+    Broyden's extra *iterations* are sequential."""
+    f0 = residual(x0, aux)
+
+    def cond(c):
+        x, f, it, bailed = c
+        return (jnp.linalg.norm(f, 2) >= tol) & (~bailed) & (it < max_iters)
+
+    def body(c):
+        x, f, it, bailed = c
+        J = jax.jacfwd(residual, argnums=0)(x, aux)
+        s = -jnp.linalg.solve(J, f)
+        bail = ~jnp.all(jnp.isfinite(s))
+        s = jnp.where(bail, jnp.zeros_like(s), s)
+        x_new = x + s
+        f_new = residual(x_new, aux)
+        x = jnp.where(bail, x, x_new)
+        f = jnp.where(bail, f, f_new)
+        return (x, f, it + 1, bailed | bail)
+
+    x, f, it, bailed = jax.lax.while_loop(
+        cond, body, (x0, f0, jnp.int32(0), jnp.asarray(False)))
+    return x, jnp.linalg.norm(f, 2) < tol
+
+
+def _make_root_solver(residual, tol, max_iters, root_solver='broyden'):
     """Root solve with IFT gradients (see module docstring)."""
+    rootfind = _newton if root_solver == 'newton' else _broyden
 
     @jax.custom_vjp
     def solve_root(x0, aux):
-        x, _ = _broyden(residual, x0, aux, tol, max_iters)
+        x, _ = rootfind(residual, x0, aux, tol, max_iters)
         return x
 
     def fwd(x0, aux):
@@ -128,6 +158,7 @@ def make_fixed_step_method(prob, tableau, sequential):
     """
     opts = dict(prob.options)
     max_iters = opts.get('max_iters', 100)
+    root_solver = opts.get('root_solver', 'broyden')
     conv, consts = _convert_func(prob)
     n = prob.y0.shape[0]
     s = tableau.n_stages
@@ -156,7 +187,7 @@ def make_fixed_step_method(prob, tableau, sequential):
                 res.append(K[i] - eval_f(ti, yi, theta))
             return jnp.concatenate(res)
 
-        solver = _make_root_solver(residual, tol, max_iters)
+        solver = _make_root_solver(residual, tol, max_iters, root_solver)
 
         def step(func, t0, dt, t1, y0, perturb, state):
             f0 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
@@ -187,7 +218,7 @@ def make_fixed_step_method(prob, tableau, sequential):
                     ti = t0 + a * dt
                 return k_flat - eval_f(ti, yi, theta)
 
-            stage_solvers.append(_make_root_solver(residual_i, tol, max_iters))
+            stage_solvers.append(_make_root_solver(residual_i, tol, max_iters, root_solver))
 
         def step(func, t0, dt, t1, y0, perturb, state):
             f0 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
@@ -216,7 +247,7 @@ def integrate_implicit(prob, tableau, sequential):
     opts = dict(prob.options)
     _warn_unused('implicit fixed-grid solver', opts,
                  {'step_size', 'grid_constructor', 'num_steps', 'perturb',
-                  'interp', 'max_iters', 'dtype'})
+                  'interp', 'max_iters', 'root_solver', 'dtype'})
     method = make_fixed_step_method(prob, tableau, sequential)
     grid = construct_grid(prob.func, prob.y0, prob.t, opts.get('step_size'),
                           opts.get('grid_constructor'),
