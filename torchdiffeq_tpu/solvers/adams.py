@@ -44,9 +44,16 @@ def make_adams_method(*, implicit, rtol, atol, max_iters=MAX_ITERS,
 
     def init_state(func, y0, t0):
         hist = jnp.zeros((hist_size,) + y0.shape, dtype=y0.dtype)
+        # prev_t lives in the (real) time dtype, NOT the state dtype: for f32
+        # state on a fine f64 grid, casting times to the state dtype can make
+        # adjacent grid points collide so history updates are silently
+        # skipped; for complex state it would store complex times.  The
+        # reference keeps history timestamps in the time dtype
+        # (fixed_adams.py:175-178).
+        t_dtype = jnp.asarray(t0).real.dtype
         return dict(hist=hist,
                     hist_len=jnp.int32(0),
-                    prev_t=jnp.zeros((), dtype=y0.dtype),
+                    prev_t=jnp.zeros((), dtype=t_dtype),
                     have_prev=jnp.asarray(False))
 
     def _update_history(state, t, f):
@@ -69,7 +76,8 @@ def make_adams_method(*, implicit, rtol, atol, max_iters=MAX_ITERS,
 
     def step(func, t0, dt, t1, y0, perturb, state):
         f0 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
-        state = _update_history(state, jnp.asarray(t0).astype(y0.dtype), f0)
+        state = _update_history(
+            state, jnp.asarray(t0).real.astype(state['prev_t'].dtype), f0)
         order = jnp.minimum(state['hist_len'], max_order - 1)
         dt_y = jnp.asarray(dt).astype(y0.dtype)
 
@@ -77,7 +85,9 @@ def make_adams_method(*, implicit, rtol, atol, max_iters=MAX_ITERS,
             dy = rk_step.rk4_alt_step_func(func, t0, dt, t1, y0,
                                            f0=state['hist'][0],
                                            perturb=perturb)
-            return dy, state
+            # f64 grid times must not promote an f32/complex state increment
+            # (reference casts the increment with `.type_as(y0)`).
+            return dy.astype(y0.dtype), state
 
         def adams_branch(state):
             hist = state['hist']  # (hist_size, n), newest first

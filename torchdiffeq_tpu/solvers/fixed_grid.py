@@ -208,8 +208,9 @@ def integrate_until_event_fixed_grid(method: FixedStepMethod, func, y0, t0,
         raise ValueError(f"Unknown interpolation method {interp}")
     cubic = interp == "cubic"
 
-    t0 = jnp.asarray(t0).astype(y0.dtype)
-    dt = jnp.asarray(step_size).astype(y0.dtype)
+    time_dtype = jnp.zeros((), y0.dtype).real.dtype  # real even for complex y
+    t0 = jnp.asarray(t0).astype(time_dtype)
+    dt = jnp.asarray(step_size).astype(time_dtype)
     sign0 = jnp.sign(event_fn(t0, y0))
     state0 = method.init_state(func, y0, t0)
 
@@ -248,5 +249,6 @@ def integrate_until_event_fixed_grid(method: FixedStepMethod, func, y0, t0,
 
     event_t, y_event = find_event(interp_fn, sign0, t0_, t1, event_fn, atol)
     err = jnp.where(changed, OK, ERR_MAX_NUM_STEPS).astype(jnp.int32)
-    stats = Stats.make(nfe=0, n_steps=itr, n_accepted=itr, error_code=err)
+    nfe = itr * (method.nfe_per_step + (1 if cubic else 0))
+    stats = Stats.make(nfe=nfe, n_steps=itr, n_accepted=itr, error_code=err)
     return event_t, y_event, stats

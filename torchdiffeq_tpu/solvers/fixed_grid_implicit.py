@@ -141,7 +141,7 @@ def _stage_times(tableau, n_stages):
         row = np.asarray(tableau.beta[i])
         if alpha_i == 1.0:
             plan.append(('prev_t1', None))
-        elif alpha_i == 0.0 and not np.all(row != 0.0):
+        elif alpha_i == 0.0 and np.all(row == 0.0):
             plan.append(('pinned', None))
         elif alpha_i == 0.0:
             plan.append(('at', 0.0))

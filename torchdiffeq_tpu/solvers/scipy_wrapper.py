@@ -31,8 +31,16 @@ def integrate_scipy(prob):
     y_dtype = prob.y0.dtype
     func = prob.func  # must not close over traced values (host round-trip)
 
+    # solve_ivp accepts vector atol (per-component) but only scalar rtol.
     rtol = np.asarray(prob.rtol)
     atol = np.asarray(prob.atol)
+    if rtol.ndim > 0 and rtol.size > 1:
+        raise ValueError(
+            "scipy_solver requires a scalar rtol (scipy.solve_ivp does not "
+            "support per-component rtol); per-leaf atol is supported.")
+    rtol = float(rtol.reshape(()))
+    atol = float(atol.reshape(())) if atol.size == 1 \
+        else np.asarray(atol, dtype=np.float64).reshape(-1)
 
     def np_func(t, y):
         f = func(jnp.asarray(t, dtype=y_dtype), jnp.asarray(y, dtype=y_dtype))
@@ -49,7 +57,7 @@ def integrate_scipy(prob):
         if max_step != float('inf'):
             kwargs['max_step'] = max_step
         sol = solve_ivp(np_func, t_span=[t.min(), t.max()], y0=y0, t_eval=t,
-                        method=solver, rtol=float(rtol), atol=float(atol),
+                        method=solver, rtol=rtol, atol=atol,
                         **kwargs)
         return np.ascontiguousarray(sol.y.T, dtype=y_dtype)
 
