@@ -48,7 +48,7 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
                  {'first_step', 'step_t', 'jump_t', 'safety', 'ifactor',
                   'dfactor', 'min_step', 'max_step', 'max_num_steps',
                   'controller', 'pcoeff', 'icoeff', 'replay_grad',
-                  'max_segments'})
+                  'max_segments', 'compensated_time'})
     return adaptive_rk.AdaptiveConfig(
         tableau=tableau, rtol=prob.rtol, atol=prob.atol, norm=prob.norm,
         first_step=opts.get('first_step'),
@@ -61,7 +61,8 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
         max_num_steps=opts.get('max_num_steps', 2 ** 31 - 1),
         controller=opts.get('controller', 'i'),
         pcoeff=opts.get('pcoeff', 0.4),
-        icoeff=opts.get('icoeff', 0.7))
+        icoeff=opts.get('icoeff', 0.7),
+        compensated_time=opts.get('compensated_time', True))
 
 
 def _solve_normalised(prob: NormalisedProblem):

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..misc import Perturb
+from ..ops import doubleword as dw
 from ..ops.interp import interp_fit, interp_evaluate
 from ..ops.rk_step import runge_kutta_step, weighted_sum
 from ..ops.step_control import (select_initial_step, compute_error_ratio,
@@ -55,6 +56,12 @@ class _Carry(NamedTuple):
                                     # counts max_num_steps per `_advance`)
     err: jnp.ndarray
     prev_ratio: jnp.ndarray         # last accepted error ratio (PI controller)
+    # Compensation words for f32-time runs (ops/doubleword.py): the true
+    # step boundaries are t0 + t0_lo and t1 + t1_lo.  Zero (and untouched)
+    # when time is f64 or compensation is disabled, preserving the exact
+    # x64 arithmetic for reference parity.
+    t0_lo: Any = 0.0
+    t1_lo: Any = 0.0
 
 
 class AdaptiveConfig(NamedTuple):
@@ -74,6 +81,11 @@ class AdaptiveConfig(NamedTuple):
     controller: str = 'i'    # 'i' (reference parity) or 'pi'
     pcoeff: float = 0.4
     icoeff: float = 0.7
+    # Double-word time accumulation when the time dtype is f32 (i.e. x64 is
+    # unavailable — the TPU default).  Matches the reference's f64-timelike
+    # contract (rk_common.py:180-195) to ~49 mantissa bits.  No effect on
+    # f64-time solves.
+    compensated_time: bool = True
 
 
 def _setup(func, y0, t0, cfg: AdaptiveConfig, t_dtype):
@@ -109,11 +121,18 @@ def _interp_fit_step(y0, y1, k, dt, tableau):
 
 
 def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
-                   t_dtype):
+                   t_dtype, use_dw=False):
     """One accept-or-reject adaptive step (reference `_adaptive_step`,
-    rk_common.py:266-361), fully branch-free."""
+    rk_common.py:266-361), fully branch-free.
+
+    With ``use_dw`` (f32 time + compensated_time), step boundaries carry a
+    compensation word (`t0_lo`/`t1_lo`) and every time accumulation /
+    window comparison runs in double-word arithmetic; the f64-time trace is
+    untouched (exact reference parity).
+    """
     tab = cfg.tableau
     y0, f0, t0 = c.y1, c.f1, c.t1
+    t0_lo = c.t1_lo
     dt = c.dt
     dt = jnp.where(jnp.isfinite(dt), dt, cfg.min_step)
     dt = jnp.clip(dt, cfg.min_step, cfg.max_step)
@@ -124,31 +143,48 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
     # --- guards (reference asserts, rk_common.py:286-287 + solvers max) ----
     err = jnp.where(c.steps_in_interval >= cfg.max_num_steps,
                     ERR_MAX_NUM_STEPS, OK).astype(jnp.int32)
-    err = jnp.where((err == OK) & ~(t0 + dt > t0), ERR_DT_UNDERFLOW,
+    if use_dw:
+        t1, t1_lo = dw.dw_add(t0, t0_lo, dt)
+        underflow = ~dw.dw_advanced(t1, t1_lo, t0, t0_lo)
+    else:
+        t1, t1_lo = t0 + dt, c.t1_lo
+        underflow = ~(t0 + dt > t0)
+    err = jnp.where((err == OK) & underflow, ERR_DT_UNDERFLOW,
                     err).astype(jnp.int32)
     err = jnp.where((err == OK) & ~jnp.all(jnp.isfinite(y0)),
                     ERR_NONFINITE_STATE, err).astype(jnp.int32)
 
-    t1 = t0 + dt
-
     # --- step_t / jump_t truncation (rk_common.py:293-311) ----------------
     false = jnp.asarray(False)
+
+    def in_window(v):
+        if use_dw:
+            return (dw.dw_diff(v, t0, t0_lo) > 0) & (dw.dw_diff(v, t1, t1_lo) < 0)
+        return (t0 < v) & (v < t1)
+
     on_step_t = false
     if step_t is not None and step_t.shape[0] > 0:
         next_step_t = step_t[c.step_idx]
-        on_step_t = (t0 < next_step_t) & (next_step_t < t1)
+        on_step_t = in_window(next_step_t)
         t1 = jnp.where(on_step_t, next_step_t, t1)
+        if use_dw:
+            t1_lo = jnp.where(on_step_t, jnp.zeros_like(t1_lo), t1_lo)
     on_jump_t = false
     if jump_t is not None and jump_t.shape[0] > 0:
         next_jump_t = jump_t[c.jump_idx]
-        on_jump_t = (t0 < next_jump_t) & (next_jump_t < t1)
+        on_jump_t = in_window(next_jump_t)
         on_step_t = on_step_t & ~on_jump_t
         t1 = jnp.where(on_jump_t, next_jump_t, t1)
+        if use_dw:
+            t1_lo = jnp.where(on_jump_t, jnp.zeros_like(t1_lo), t1_lo)
     # Only recompute dt when a truncation fired (reference rk_common.py:299,
     # 307): the unconditional `t1 - t0` roundtrip can exceed max_step by one
     # ULP and force-reject every step.
     truncated = on_step_t | on_jump_t
-    dt = jnp.where(truncated, t1 - t0, dt)
+    if use_dw:
+        dt = jnp.where(truncated, (t1 - t0) + (t1_lo - t0_lo), dt)
+    else:
+        dt = jnp.where(truncated, t1 - t0, dt)
 
     # --- the RK step -------------------------------------------------------
     y1, f1, y1_err, k = runge_kutta_step(func, y0, f0, t0, dt, t1, tab)
@@ -183,6 +219,7 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
             lambda: (cb_rej or (lambda *a: None))(t0, y0, dt))
 
     t_next = jnp.where(accept, t1, t0)
+    t_lo_next = jnp.where(accept, t1_lo, t0_lo) if use_dw else c.t1_lo
     y_next = jnp.where(accept, y1, y0)
     f_next = jnp.where(accept, f1, f0)
     if cfg.controller == 'pi':
@@ -208,6 +245,7 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
 
     stepped = c._replace(
         y1=y_next, f1=f_next, t0=t0, t1=t_next, dt=dt_next, coeff=coeff,
+        t0_lo=t0_lo, t1_lo=t_lo_next,
         prev_ratio=prev_ratio,
         step_idx=step_idx, jump_idx=jump_idx,
         nfe=c.nfe + nfe + jump_reeval.astype(jnp.int32),
@@ -249,6 +287,7 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
     t_dtype = ts.dtype
     T = ts.shape[0]
     n = y0.shape[0]
+    use_dw = bool(cfg.compensated_time) and t_dtype == jnp.float32
 
     f0, dt0, nfe0 = _setup(func, y0, ts[0], cfg, t_dtype)
 
@@ -262,25 +301,39 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
 
     out = jnp.zeros((T, n), dtype=y0.dtype).at[0].set(y0)
     zeros_coeff = jnp.zeros((5, n), dtype=y0.dtype).at[0].set(y0)
+    zero_t = jnp.zeros((), dtype=t_dtype)
     carry = _Carry(
         y1=y0, f1=f0, t0=ts[0], t1=ts[0], dt=dt0, coeff=zeros_coeff,
         i_out=jnp.int32(1), out=out, step_idx=step_idx, jump_idx=jump_idx,
         nfe=jnp.int32(nfe0), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
-        err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=t_dtype))
+        err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=t_dtype),
+        t0_lo=zero_t, t1_lo=zero_t)
+
+    def past_t1(c, t):
+        """t > (c.t1 + c.t1_lo)."""
+        if use_dw:
+            return dw.dw_diff(t, c.t1, c.t1_lo) > 0
+        return t > c.t1
 
     if T * n <= _SCATTER_EMIT_MAX_ELEMENTS:
         t_end = ts[-1]
-        out_ids = jnp.arange(T)
 
         def cond(c):
-            return (c.t1 < t_end) & (c.err == OK)
+            return past_t1(c, t_end) & (c.err == OK)
 
         def body(c):
-            c2 = _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype)
+            c2 = _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype,
+                                use_dw)
             # emit every output time first covered by this step
-            emit_mask = (ts > c2.t0) & (ts <= c2.t1)
-            vals = _interp_eval_vec(c2.coeff, c2.t0, c2.t1, ts)
+            if use_dw:
+                emit_mask = ((dw.dw_diff(ts, c2.t0, c2.t0_lo) > 0)
+                             & (dw.dw_diff(ts, c2.t1, c2.t1_lo) <= 0))
+                vals = _interp_eval_vec(c2.coeff, c2.t0, c2.t1, ts,
+                                        c2.t0_lo, c2.t1_lo)
+            else:
+                emit_mask = (ts > c2.t0) & (ts <= c2.t1)
+                vals = _interp_eval_vec(c2.coeff, c2.t0, c2.t1, ts)
             out = jnp.where(emit_mask[:, None], vals, c2.out)
             emitted_any = jnp.any(emit_mask)
             return c2._replace(
@@ -298,7 +351,11 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
 
         def emit(c):
             next_t = ts[c.i_out]
-            y = interp_evaluate(c.coeff, c.t0, c.t1, next_t)
+            if use_dw:
+                y = _interp_eval_vec(c.coeff, c.t0, c.t1, next_t[None],
+                                     c.t0_lo, c.t1_lo)[0]
+            else:
+                y = interp_evaluate(c.coeff, c.t0, c.t1, next_t)
             return c._replace(out=c.out.at[c.i_out].set(y),
                               i_out=c.i_out + 1,
                               steps_in_interval=jnp.int32(0))
@@ -306,9 +363,9 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
         def body(c):
             next_t = ts[c.i_out]
             return jax.lax.cond(
-                next_t > c.t1,
+                past_t1(c, next_t),
                 lambda cc: _adaptive_step(cc, func, cfg, step_t, jump_t,
-                                          t_dtype),
+                                          t_dtype, use_dw),
                 emit,
                 c)
 
@@ -326,11 +383,18 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
     return ys, stats
 
 
-def _interp_eval_vec(coeff, t0, t1, ts):
+def _interp_eval_vec(coeff, t0, t1, ts, t0_lo=None, t1_lo=None):
     """Vectorised interpolant evaluation at all output times with a
-    zero-width guard (rejected steps have t1 == t0)."""
-    denom = jnp.where(t1 > t0, t1 - t0, jnp.ones_like(t1))
-    x = ((ts - t0) / denom).astype(coeff.dtype)
+    zero-width guard (rejected steps have t1 == t0).  With compensation
+    words, the normalised coordinate is computed in double-word time."""
+    if t0_lo is not None:
+        den = (t1 - t0) + (t1_lo - t0_lo)
+        denom = jnp.where(den > 0, den, jnp.ones_like(den))
+        x = ((ts - t0) - t0_lo) / denom
+    else:
+        denom = jnp.where(t1 > t0, t1 - t0, jnp.ones_like(t1))
+        x = (ts - t0) / denom
+    x = x.astype(coeff.dtype)
     total = coeff[0][None] + x[:, None] * coeff[1][None]
     x_power = x
     for i in range(2, coeff.shape[0]):
@@ -351,6 +415,7 @@ def integrate_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig):
     t0 = jnp.asarray(t0)
     t_dtype = t0.dtype
     n = y0.shape[0]
+    use_dw = bool(cfg.compensated_time) and t_dtype == jnp.float32
 
     f0, dt0, nfe0 = _setup(func, y0, t0, cfg, t_dtype)
 
@@ -366,20 +431,22 @@ def integrate_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig):
     at_event_already = ev0 == 0
 
     zeros_coeff = jnp.zeros((5, n), dtype=y0.dtype).at[0].set(y0)
+    zero_t = jnp.zeros((), dtype=t_dtype)
     carry = _Carry(
         y1=y0, f1=f0, t0=t0, t1=t0, dt=dt0, coeff=zeros_coeff,
         i_out=jnp.int32(0), out=jnp.zeros((1, n), dtype=y0.dtype),
         step_idx=step_idx, jump_idx=jump_idx,
         nfe=jnp.int32(nfe0), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
-        err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=t_dtype))
+        err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=t_dtype),
+        t0_lo=zero_t, t1_lo=zero_t)
 
     def cond(c):
         same_sign = jnp.sign(event_fn(c.t1, c.y1)) == sign0
         return same_sign & (c.err == OK) & ~at_event_already
 
     def body(c):
-        return _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype)
+        return _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype, use_dw)
 
     carry = jax.lax.while_loop(cond, body, carry)
 

@@ -53,7 +53,8 @@ def record_segments(func, y0, ts, cfg: AdaptiveConfig, max_segments):
         step_idx=jnp.int32(0), jump_idx=jnp.int32(0),
         nfe=jnp.int32(nfe0), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
-        err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=ts.dtype))
+        err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=ts.dtype),
+        t0_lo=jnp.zeros((), dtype=t_dtype), t1_lo=jnp.zeros((), dtype=t_dtype))
 
     def cond(state):
         c, _ = state
