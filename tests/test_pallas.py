@@ -64,3 +64,111 @@ def test_dopri5_batched_per_lane():
     np.testing.assert_allclose(np.asarray(y[0]), exact, atol=5e-5)
     # per-lane adaptivity: the stiff half takes more steps
     assert int(stp[0, -1]) > int(stp[0, 0])
+
+
+def test_dopri5_batched_multi_output_and_dpad():
+    """Extended kernel: D > 8 (sublane padding), multiple output times,
+    Hairer initial step."""
+    from torchdiffeq_tpu.ops.pallas_kernels import dopri5_integrate_batched
+
+    B, D = 128, 11
+    ts = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+    lam = jnp.linspace(0.5, 5.0, D).reshape(D, 1).astype(jnp.float32)
+    y0 = jnp.ones((D, B), jnp.float32)
+
+    def field(t, y, lam):
+        return -lam * y
+
+    ys, acc, stp = dopri5_integrate_batched(field, y0, 0.0, 1.0, ts=ts,
+                                            rtol=1e-5, atol=1e-7,
+                                            params=(lam,), interpret=True)
+    assert ys.shape == (5, D, B)
+    for i, t in enumerate(np.asarray(ts)):
+        exact = np.broadcast_to(np.exp(-np.asarray(lam) * t), (D, B))
+        np.testing.assert_allclose(np.asarray(ys[i]), exact, atol=5e-5)
+
+
+def test_per_sample_pallas_parity_with_vmap():
+    """Public API: odeint_per_sample(options=dict(pallas=True)) matches
+    vmap(odeint) at matched controller settings (both per-sample)."""
+    from torchdiffeq_tpu.parallel import odeint_per_sample_with_stats
+
+    B, D = 64, 2
+    A = jnp.array([[-0.1, 2.0], [-2.0, -0.1]], jnp.float32)
+    y0 = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (B, D), jnp.float32)
+    t = jnp.linspace(0.0, 1.5, 7, dtype=jnp.float32)
+
+    def func(tt, yy, A_):
+        return (yy ** 3) @ A_
+
+    ys_pal, st_pal = odeint_per_sample_with_stats(
+        func, y0, t, args=(A,), rtol=1e-5, atol=1e-7,
+        options=dict(pallas=True, interpret=True))
+    ys_ref, st_ref = odeint_per_sample_with_stats(
+        func, y0, t, args=(A,), rtol=1e-5, atol=1e-7)
+
+    assert ys_pal.shape == ys_ref.shape == (B, 7, D)
+    np.testing.assert_allclose(np.asarray(ys_pal), np.asarray(ys_ref),
+                               atol=2e-4)
+    # matched controllers: per-sample step counts agree closely
+    # (f32 vs f64 time can shift a step or two per lane)
+    diff = np.abs(np.asarray(st_pal.n_steps) - np.asarray(st_ref.n_steps))
+    assert diff.max() <= 2, diff.max()
+    assert int(st_pal.error_code.max()) == 0
+
+
+def test_per_sample_pallas_fallback():
+    """Non-qualifying problems (pytree state) silently use the vmap path."""
+    from torchdiffeq_tpu.parallel import odeint_per_sample
+
+    B = 8
+    y0 = (jnp.ones((B, 2)), jnp.ones((B, 1)))
+    t = jnp.linspace(0.0, 1.0, 3)
+
+    def func(tt, yy):
+        a, b = yy
+        return (-a, -2.0 * b)
+
+    ys = odeint_per_sample(func, y0, t, options=dict(pallas=True))
+    np.testing.assert_allclose(np.asarray(ys[0][:, -1]), np.exp(-1.0),
+                               rtol=1e-5)
+
+
+def test_odeint_pallas_rk4_matches_scan_driver():
+    """Public API: odeint(method='rk4', options=dict(pallas=True,
+    num_steps=N)) matches the scan driver bit-for-bit-level closely."""
+    import torchdiffeq_tpu as tde
+
+    A = jnp.array([[-0.1, 2.0], [-2.0, -0.1]], jnp.float32)
+    B = 16
+    y0 = jax.random.normal(jax.random.PRNGKey(3), (B, 2), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+
+    def func(tt, yy, A_):
+        return (yy ** 3) @ A_
+
+    ys_pal, st = tde.odeint_with_stats(
+        func, y0, t, method='rk4', args=(A,),
+        options=dict(pallas=True, num_steps=100, interpret=True))
+    ys_ref = tde.odeint(func, y0, t, method='rk4', args=(A,),
+                        options=dict(num_steps=100))
+    assert ys_pal.shape == ys_ref.shape == (5, B, 2)
+    np.testing.assert_allclose(np.asarray(ys_pal), np.asarray(ys_ref),
+                               rtol=2e-6, atol=1e-6)
+    assert int(st.nfe) == 400 and int(st.n_steps) == 100
+
+
+def test_odeint_pallas_rk4_fallback():
+    """Misaligned outputs fall back to the scan driver (and the pallas key
+    does not leak into option validation)."""
+    import torchdiffeq_tpu as tde
+
+    y0 = jnp.ones((4, 2))
+    t = jnp.array([0.0, 0.3, 1.0])  # not uniform -> no kernel
+
+    def func(tt, yy):
+        return -yy
+
+    ys = tde.odeint(func, y0, t, method='rk4',
+                    options=dict(pallas=True, num_steps=90))
+    np.testing.assert_allclose(np.asarray(ys[-1]), np.exp(-1.0), rtol=1e-5)

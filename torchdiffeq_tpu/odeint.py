@@ -167,8 +167,68 @@ def odeint_with_stats(func, y0, t, *, rtol=1e-7, atol=1e-9, method=None,
                         args, with_stats=True)
 
 
+def _try_pallas_rk4(func, y0, t, method, options, event_fn, args):
+    """Fused-kernel fast path for `odeint(..., method='rk4',
+    options=dict(pallas=True, num_steps=N))`.
+
+    Qualifies when the state is a 2-D (B, D) float array, the output times
+    are concrete, increasing, and uniformly strided on the `num_steps`
+    grid, and there is no event function.  Returns (ys, Stats) or None (the
+    caller then falls back to the scan driver transparently).  Forward-only:
+    the kernel's internal loop is not differentiable — use the default path
+    (exact scan gradients) for training.
+    """
+    import numpy as np
+    opts = options or {}
+    if not isinstance(opts, dict) or not opts.get('pallas'):
+        return None
+    if method != 'rk4' or event_fn is not None:
+        return None
+    if set(opts) - {'pallas', 'num_steps', 'interpret', 'block_b'}:
+        return None
+    n_steps = opts.get('num_steps')
+    if n_steps is None:
+        return None
+    if not isinstance(y0, (jnp.ndarray, np.ndarray)) or y0.ndim != 2 \
+            or jnp.issubdtype(y0.dtype, jnp.complexfloating):
+        return None
+    try:
+        t_np = np.asarray(t, dtype=np.float64)
+    except Exception:
+        return None
+    T = t_np.shape[0]
+    if t_np.ndim != 1 or T < 2 or not (np.diff(t_np) > 0).all():
+        return None
+    n_steps = int(n_steps)
+    if n_steps % (T - 1) != 0:
+        return None
+    # outputs must sit exactly on the uniform grid
+    if not np.allclose(t_np, np.linspace(t_np[0], t_np[-1], T),
+                       rtol=0, atol=1e-12 * max(1.0, abs(t_np[-1]))):
+        return None
+
+    from .ops.pallas_kernels import rk4_integrate
+    dt = (t_np[-1] - t_np[0]) / n_steps
+    field = lambda tt, yy, *a: func(tt, yy, *a)
+    ys = rk4_integrate(field, jnp.asarray(y0), t_np[0], dt, n_steps,
+                       tuple(args), out_every=n_steps // (T - 1),
+                       block_b=opts.get('block_b'),
+                       interpret=bool(opts.get('interpret', False)))
+    stats = Stats.make(nfe=4 * n_steps, n_steps=n_steps,
+                       n_accepted=n_steps)
+    return ys, stats
+
+
 def _odeint_impl(func, y0, t, rtol, atol, method, options, event_fn, args,
                  with_stats):
+    res = _try_pallas_rk4(func, y0, t, method, options, event_fn, args)
+    if res is not None:
+        return res
+    if isinstance(options, dict) and ('pallas' in options
+                                      or 'interpret' in options
+                                      or 'block_b' in options):
+        options = {k: v for k, v in options.items()
+                   if k not in ('pallas', 'interpret', 'block_b')}
     prob = check_inputs(func, y0, t, rtol, atol, method, options, event_fn,
                         SOLVERS, args=args)
     spec = SOLVERS[prob.method]

@@ -37,7 +37,7 @@ def _rk4_step_inline(field, t0, dt, y, params):
 
 
 def rk4_integrate(field, y0, t0, dt, n_steps, params=(), *, block_b=None,
-                  interpret=False):
+                  out_every=None, interpret=False):
     """Integrate ``dy/dt = field(t, y, *params)`` with `n_steps` fixed RK4
     steps of size `dt`, entirely inside one Pallas kernel per batch tile.
 
@@ -48,10 +48,13 @@ def rk4_integrate(field, y0, t0, dt, n_steps, params=(), *, block_b=None,
         n_steps: static int.
         params: tuple of parameter arrays (loaded to VMEM once per tile).
         block_b: batch tile size (default: whole batch if it fits).
+        out_every: optional static int stride (must divide n_steps): emit
+            the state every `out_every` steps, returning
+            (n_steps // out_every + 1, B, D) with row 0 = y0.
         interpret: run in the Pallas interpreter (for CPU testing).
 
     Returns:
-        (B, D) final states.
+        (B, D) final states, or the (T, B, D) trajectory with `out_every`.
     """
     from jax.experimental import pallas as pl
     try:
@@ -78,14 +81,23 @@ def rk4_integrate(field, y0, t0, dt, n_steps, params=(), *, block_b=None,
     t0 = jnp.asarray(t0, y0.dtype)
     dt = jnp.asarray(dt, y0.dtype)
     n_steps = int(n_steps)
+    if out_every is not None:
+        out_every = int(out_every)
+        if out_every <= 0 or n_steps % out_every != 0:
+            raise ValueError("out_every must be a positive divisor of "
+                             f"n_steps ({n_steps}), got {out_every}")
+    T_out = None if out_every is None else n_steps // out_every + 1
 
     if jax.default_backend() != 'tpu' and not interpret:
         # portable fallback: same numerics through lax.scan
         def body(y, i):
             t = t0 + i.astype(y0.dtype) * dt
-            return _rk4_step_inline(field, t, dt, y, params), None
-        y, _ = jax.lax.scan(body, y0, jnp.arange(n_steps))
-        return y
+            y1 = _rk4_step_inline(field, t, dt, y, params)
+            return y1, (y1 if out_every is not None else None)
+        y, tail = jax.lax.scan(body, y0, jnp.arange(n_steps))
+        if out_every is None:
+            return y
+        return jnp.concatenate([y0[None], tail[out_every - 1::out_every]])
 
     def kernel(tdt_ref, *refs):
         param_refs = refs[:len(params)]
@@ -94,11 +106,23 @@ def rk4_integrate(field, y0, t0, dt, n_steps, params=(), *, block_b=None,
         t_start = tdt_ref[0]
         dt_k = tdt_ref[1]
 
-        def body(i, y):
+        def step(i, y):
             t = t_start + i.astype(y.dtype) * dt_k
             return _rk4_step_inline(field, t, dt_k, y, pvals)
 
-        out_ref[:] = jax.lax.fori_loop(0, n_steps, body, y0_ref[:])
+        if out_every is None:
+            out_ref[:] = jax.lax.fori_loop(0, n_steps, step, y0_ref[:])
+        else:
+            out_ref[0] = y0_ref[:]
+
+            def segment(s, y):
+                def inner(j, y):
+                    return step(s * out_every + j, y)
+                y = jax.lax.fori_loop(0, out_every, inner, y)
+                out_ref[pl.ds(s + 1, 1)] = y[None]
+                return y
+
+            jax.lax.fori_loop(0, T_out - 1, segment, y0_ref[:])
 
     grid = (B // block_b,)
     # t0 as a (1,) array in VMEM, params whole per tile, state blocked over
@@ -108,13 +132,21 @@ def rk4_integrate(field, y0, t0, dt, n_steps, params=(), *, block_b=None,
                 + [pl.BlockSpec((block_b, D), lambda i: (i, 0),
                                 memory_space=vmem)])
 
+    if out_every is None:
+        out_spec = pl.BlockSpec((block_b, D), lambda i: (i, 0),
+                                memory_space=vmem)
+        out_shape = jax.ShapeDtypeStruct((B, D), y0.dtype)
+    else:
+        out_spec = pl.BlockSpec((T_out, block_b, D), lambda i: (0, i, 0),
+                                memory_space=vmem)
+        out_shape = jax.ShapeDtypeStruct((T_out, B, D), y0.dtype)
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_b, D), lambda i: (i, 0),
-                               memory_space=vmem),
-        out_shape=jax.ShapeDtypeStruct((B, D), y0.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(jnp.stack([t0, dt]), *params, y0)
     return out
@@ -129,12 +161,14 @@ def _dopri5_consts(dtype):
     import numpy as np
     tab = tableaus.DOPRI5
     return (np.asarray(tab.alpha, dtype), np.asarray(tab.beta, dtype),
-            np.asarray(tab.c_sol, dtype), np.asarray(tab.c_error, dtype))
+            np.asarray(tab.c_sol, dtype), np.asarray(tab.c_error, dtype),
+            np.asarray(tab.c_mid, dtype))
 
 
-def dopri5_integrate_batched(field, y0, t0, t1, *, rtol=1e-4, atol=1e-6,
-                             params=(), max_steps=10_000, safety=0.9,
-                             ifactor=10.0, dfactor=0.2, interpret=False):
+def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
+                             atol=1e-6, params=(), max_steps=10_000,
+                             safety=0.9, ifactor=10.0, dfactor=0.2,
+                             first_step=None, block_b=None, interpret=False):
     """Adaptive dopri5 over a huge batch of small ODEs, fused into ONE
     Pallas kernel with an independent step-size controller PER SAMPLE.
 
@@ -142,22 +176,40 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, rtol=1e-4, atol=1e-6,
     semantics) or per-sample control via `vmap` (one loop dispatch per
     union step).  Here each of the 128 VPU lanes owns a trajectory: state
     is laid out (D, B) with the batch riding the lane axis, `t`/`dt` are
-    (1, B) vectors, accept/reject is an elementwise mask, and the kernel's
-    single `while_loop` runs until every lane reaches `t1`.  No HBM
-    traffic and no loop dispatch between steps — the speed-of-light design
-    for "millions of tiny ODEs" workloads (simulation ensembles, particle
-    models, option pricing).
+    per-lane vectors, accept/reject is an elementwise mask, and the
+    kernel's single `while_loop` runs until every lane reaches `t1`.  No
+    HBM traffic and no loop dispatch between steps — the speed-of-light
+    design for "millions of tiny ODEs" workloads (simulation ensembles,
+    particle models, option pricing).
+
+    Semantics match the host driver per solve: Hairer initial-step
+    selection (or `first_step`), the reference I-controller constants,
+    stepping PAST `t1` with quartic dense-output emission at the requested
+    `ts` (reference rk_common.py:243-250's advance-then-interpolate).
 
     Args:
         field: traceable `field(t, y, *params)` over (D, b) blocks with t
             of shape (1, b) (broadcasts elementwise).
-        y0: (D, B) initial states, batch on the LAST axis.
+        y0: (D, B) initial states, batch on the LAST axis.  D may exceed 8
+            (the state is padded to the sublane tile internally).
         t0, t1: scalars.
-        rtol, atol, max_steps, safety/ifactor/dfactor: controller config.
+        ts: optional concrete (S,) increasing output times in [t0, t1].
+            When given, returns ys of shape (S, D, B) (quartic-interpolated
+            at each ts); otherwise the final state (D, B) interpolated at
+            `t1`.
+        rtol, atol, max_steps, safety/ifactor/dfactor, first_step:
+            controller config (scalars, shared across lanes).
+        block_b: lane-tile size (default: the whole batch when it fits in
+            VMEM, else halved until it does).  Each grid program solves its
+            own lane tile with an independent while_loop, so a tile of easy
+            lanes finishes without waiting for stiff lanes in other tiles.
+            Params whose last dim equals B are per-lane and are blocked
+            along with the state; all other params are broadcast whole.
 
     Returns:
-        (y_final (D, B), n_accepted (1, B) int32, n_steps (1, B) int32).
+        (ys, n_accepted (1, B) int32, n_steps (1, B) int32).
     """
+    import numpy as np
     from jax.experimental import pallas as pl
     try:
         from jax.experimental.pallas import tpu as pltpu
@@ -167,10 +219,35 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, rtol=1e-4, atol=1e-6,
 
     D, B = y0.shape
     dtype = y0.dtype
-    alpha, beta, c_sol, c_err = _dopri5_consts(dtype)
+    alpha, beta, c_sol, c_err, c_mid = _dopri5_consts(dtype)
     t0 = jnp.asarray(t0, dtype)
     t1 = jnp.asarray(t1, dtype)
     max_steps = int(max_steps)
+
+    # Pad the state dim up to the f32 sublane tile so Mosaic keeps simple
+    # layouts for any user D; the controller divides by the TRUE D.
+    D_pad = max(8, -(-D // 8) * 8)
+    pad_rows = D_pad - D
+
+    ts_np = None if ts is None else np.asarray(ts, dtype)
+    S = 1 if ts_np is None else int(ts_np.shape[0])
+
+    if block_b is None:
+        # Working set per lane: ~6 control words + ~12 state rows (stages,
+        # interp scratch) + S output rows; keep a tile under ~4 MB of VMEM.
+        itemsize = jnp.dtype(dtype).itemsize
+        bytes_per_lane = (6 * 8 + (12 + S) * D_pad) * itemsize
+        block_b = B
+        while block_b * bytes_per_lane > 4 * 1024 * 1024 \
+                and block_b % 2 == 0 and block_b > 128:
+            block_b //= 2
+    block_b = int(block_b)
+    if B % block_b != 0:
+        raise ValueError(f"batch {B} must be divisible by block_b {block_b}")
+    n_tiles = B // block_b
+    Bb = block_b
+    # params with a per-lane last dim are blocked with the state
+    per_lane_param = [p.ndim >= 1 and p.shape[-1] == B for p in params]
 
     def one_solve(scal_ref, *refs):
         param_refs = refs[:len(params)]
@@ -180,11 +257,22 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, rtol=1e-4, atol=1e-6,
         t_start, t_end = scal_ref[0], scal_ref[1]
 
         y_init = y0_ref[:]
+        if pad_rows:
+            y_init = jnp.concatenate(
+                [y_init, jnp.zeros((pad_rows, Bb), dtype)], axis=0)
         tiny = jnp.finfo(dtype).tiny
         span = t_end - t_start
 
         def f(tv, yv):
-            return field(tv, yv, *pvals)
+            fv = field(tv, yv[:D] if pad_rows else yv, *pvals)
+            if pad_rows:
+                fv = jnp.concatenate(
+                    [fv, jnp.zeros((pad_rows, Bb), dtype)], axis=0)
+            return fv
+
+        def lane_rms(v2):
+            """Per-lane mean over the TRUE state dim of pre-squared rows."""
+            return jnp.sqrt(jnp.sum(v2, axis=0, keepdims=True) / float(D))
 
         def stage_sweep(t, dt, y, f0):
             ks = [f0]
@@ -206,27 +294,73 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, rtol=1e-4, atol=1e-6,
                     continue
                 term = float(c) * ks[j]
                 err = term if err is None else err + term
-            return y1, ks[-1], dt * err
+            return y1, ks, dt * err
+
+        def interp_coeffs(y, y1, y_mid, f0, f1, dt):
+            a = 2 * dt * (f1 - f0) - 8 * (y1 + y) + 16 * y_mid
+            b = dt * (5 * f0 - 3 * f1) + 18 * y + 14 * y1 - 32 * y_mid
+            c = dt * (f1 - 4 * f0) - 11 * y - 5 * y1 + 16 * y_mid
+            return (y, dt * f0, c, b, a)   # ascending powers of x in [0,1]
+
+        def interp_at(coefs, x):
+            e, d, c, b, a = coefs
+            total = e + x * d
+            xp = x
+            for coef in (c, b, a):
+                xp = xp * x
+                total = total + xp * coef
+            return total
 
         def cond(carry):
-            t, dt, y, fc, acc, stp = carry
+            t, dt, y, fc, acc, stp, out = carry
             return jnp.any((t < t_end) & (stp < float(max_steps)))
 
         def body(carry):
-            t, dt, y, fc, acc, stp = carry        # control vectors: (8, B)
+            t, dt, y, fc, acc, stp, out = carry   # control vectors: (8, Bb)
             active = t < t_end
-            dt_c = jnp.minimum(dt, t_end - t)       # never overshoot
-            dt_c = jnp.where(active, dt_c, jnp.zeros_like(dt_c))
-            y1, f1, err = stage_sweep(t[:1], dt_c[:1], y, fc)
+            dt_c = jnp.where(active, dt, jnp.zeros_like(dt))
+            t_prop = t + dt_c
+            y1, ks, err = stage_sweep(t[:1], dt_c[:1], y, fc)
+            f1 = ks[-1]
             tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
-            # per-sample RMS over the state dim, broadcast back to (8, B)
-            msq = jnp.broadcast_to(jnp.mean((err / tol) ** 2, axis=0,
-                                            keepdims=True), (8, B))
-            ratio = jnp.sqrt(msq)
+            # per-sample RMS over the state dim, broadcast back to (8, Bb)
+            ratio = jnp.broadcast_to(lane_rms((err / tol) ** 2), (8, Bb))
             accept = (ratio <= 1.0) & active
+
+            # dense-output emission for every ts this step covers; most
+            # steps cover none, so the quartic fit + masked writes are
+            # gated behind a single any-lane branch.
+            emit_ts = (t_end,) if ts_np is None else tuple(ts_np)
+            covered = [accept[:1] & (t[:1] < t_s) & (t_prop[:1] >= t_s)
+                       for t_s in emit_ts]
+            any_mask = covered[0]
+            for cov in covered[1:]:
+                any_mask = any_mask | cov
+            any_emit = jnp.any(any_mask)
+
+            def do_emit():
+                mid = None
+                for j, c in enumerate(c_mid):
+                    if c == 0.0:
+                        continue
+                    term = float(c) * ks[j]
+                    mid = term if mid is None else mid + term
+                y_mid = y + dt_c[:1] * mid
+                coefs = interp_coeffs(y, y1, y_mid, fc, f1, dt_c[:1])
+                dt_safe = jnp.where(dt_c[:1] > 0, dt_c[:1],
+                                    jnp.ones_like(dt_c[:1]))
+                new_out = []
+                for s, t_s in enumerate(emit_ts):
+                    x = (t_s - t[:1]) / dt_safe
+                    new_out.append(jnp.where(covered[s],
+                                             interp_at(coefs, x), out[s]))
+                return tuple(new_out)
+
+            new_out = jax.lax.cond(any_emit, do_emit, lambda: out)
+
             y = jnp.where(accept[:1], y1, y)
             fc = jnp.where(accept[:1], f1, fc)
-            t = jnp.where(accept, t + dt_c, t)
+            t = jnp.where(accept, t_prop, t)
             dfac = jnp.where(ratio < 1.0, jnp.ones_like(ratio), dfactor)
             factor = jnp.minimum(
                 ifactor, jnp.maximum(safety / jnp.maximum(ratio, tiny)
@@ -234,37 +368,85 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, rtol=1e-4, atol=1e-6,
             dt = jnp.where(active, dt_c * factor, dt)
             acc = acc + accept.astype(dtype)
             stp = stp + active.astype(dtype)
-            return (t, dt, y, fc, acc, stp)
+            return (t, dt, y, fc, acc, stp, new_out)
 
         # All control vectors live on the full (8, B) sublane tile with a
         # concrete (non-replicated) layout — Mosaic rejects while-carries
         # whose layout changes replication between iterations, and both
         # (1, B) carries and splat-initialised (8, B) carries hit that.
         # The iota term forces a materialised {0,0} layout.
-        zero_like = 0.0 * jax.lax.broadcasted_iota(jnp.int32, (8, B), 1).astype(dtype)
+        zero_like = 0.0 * jax.lax.broadcasted_iota(jnp.int32, (8, Bb), 1).astype(dtype)
         t_v = t_start + zero_like
         f0 = f(t_v[:1], y_init)
-        dt_v = 0.01 * span + zero_like
+
+        if first_step is not None:
+            dt_v = jnp.asarray(first_step, dtype) + zero_like
+        else:
+            # Hairer initial-step heuristic, vectorised per lane
+            # (ops/step_control.select_initial_step; reference misc.py:36-77)
+            scale = atol + rtol * jnp.abs(y_init)
+            d0 = lane_rms((y_init / scale) ** 2)
+            d1 = lane_rms((f0 / scale) ** 2)
+            h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6,
+                           0.01 * d0 / jnp.maximum(d1, tiny))
+            yp = y_init + h0 * f0
+            fp = f(t_v[:1] + h0, yp)
+            d2 = lane_rms(((fp - f0) / scale) ** 2) / jnp.maximum(h0, tiny)
+            d_max = jnp.maximum(d1, d2)
+            h1 = jnp.where((d1 <= 1e-15) & (d2 <= 1e-15),
+                           jnp.maximum(1e-6, h0 * 1e-3),
+                           (0.01 / jnp.maximum(d_max, tiny)) ** (1.0 / 5.0))
+            dt_v = jnp.minimum(100.0 * h0, h1) + zero_like
+
         acc0 = zero_like
-        carry = (t_v, dt_v, y_init, f0, acc0, acc0)
-        t_v, dt_v, y, fc, acc, stp = jax.lax.while_loop(cond, body, carry)
-        y_out[:] = y
+        # outputs at/below t_start are the initial state
+        out0 = []
+        emit_ts = (t_end,) if ts_np is None else tuple(ts_np)
+        for t_s in emit_ts:
+            at_start = (t_start + zero_like[:1]) >= t_s
+            out0.append(jnp.where(at_start, y_init,
+                                  jnp.zeros_like(y_init)))
+        carry = (t_v, dt_v, y_init, f0, acc0, acc0, tuple(out0))
+        t_v, dt_v, y, fc, acc, stp, out = jax.lax.while_loop(cond, body,
+                                                             carry)
+        for s in range(S):
+            row = out[s][:D] if pad_rows else out[s]
+            y_out[s] = row
         acc_out[:] = acc[:1].astype(jnp.int32)
         steps_out[:] = stp[:1].astype(jnp.int32)
 
-    out_shapes = (jax.ShapeDtypeStruct((D, B), dtype),
+    out_shapes = (jax.ShapeDtypeStruct((S, D, B), dtype),
                   jax.ShapeDtypeStruct((1, B), jnp.int32),
                   jax.ShapeDtypeStruct((1, B), jnp.int32))
 
     if jax.default_backend() != 'tpu' and not interpret:
         interpret = True  # portable fallback
 
-    return pl.pallas_call(
+    def _param_spec(p, lane):
+        if not lane:
+            return pl.BlockSpec(memory_space=vmem)
+        blk = p.shape[:-1] + (Bb,)
+        lead = (0,) * (p.ndim - 1)
+        return pl.BlockSpec(blk, lambda i, _l=lead: _l + (i,),
+                            memory_space=vmem)
+
+    ys, acc, stp = pl.pallas_call(
         one_solve,
+        grid=(n_tiles,),
         in_specs=([pl.BlockSpec(memory_space=vmem)]
-                  + [pl.BlockSpec(memory_space=vmem) for _ in params]
-                  + [pl.BlockSpec(memory_space=vmem)]),
-        out_specs=tuple(pl.BlockSpec(memory_space=vmem) for _ in range(3)),
+                  + [_param_spec(p, lane)
+                     for p, lane in zip(params, per_lane_param)]
+                  + [pl.BlockSpec((D, Bb), lambda i: (0, i),
+                                  memory_space=vmem)]),
+        out_specs=(pl.BlockSpec((S, D, Bb), lambda i: (0, 0, i),
+                                memory_space=vmem),
+                   pl.BlockSpec((1, Bb), lambda i: (0, i),
+                                memory_space=vmem),
+                   pl.BlockSpec((1, Bb), lambda i: (0, i),
+                                memory_space=vmem)),
         out_shape=out_shapes,
         interpret=interpret,
     )(jnp.stack([t0, t1]), *params, y0)
+    if ts is None:
+        return ys[0], acc, stp
+    return ys, acc, stp

@@ -160,7 +160,9 @@ def integrate_fixed_grid(method: FixedStepMethod, func, y0, ts, grid, *,
         if getattr(func, 'callback_step', None) is not None:
             func.callback_step(t0, y0_, dt)  # reference solvers.py:113
         dy, f0, st = method.step(func, t0, dt, t1, y0_, perturb, st)
-        y1 = y0_ + dy
+        # f64 grid times must not promote an f32/complex state increment
+        # (reference casts with `.type_as(y0)`).
+        y1 = y0_ + dy.astype(y0_.dtype)
         if cubic:
             # The reference evaluates f1 afresh for cubic output interpolation
             # (solvers.py:119); we evaluate it once per interval.
@@ -217,7 +219,7 @@ def integrate_until_event_fixed_grid(method: FixedStepMethod, func, y0, t0,
     def one_step(t0_, y0_, st):
         t1 = t0_ + dt
         dy, f0, st = method.step(func, t0_, dt, t1, y0_, perturb, st)
-        y1 = y0_ + dy
+        y1 = y0_ + dy.astype(y0_.dtype)
         if cubic:
             f1 = func(t1, y1, perturb=Perturb.NONE)
         else:
