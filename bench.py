@@ -6,13 +6,23 @@ spiral neural-ODE (BASELINE.json config 1: examples/ode_demo.py's MLP field)
 at rtol=1e-7, and compares against the reference torchdiffeq running the
 identical workload with torch (CPU — the only torch device here).
 
+Both frameworks consume THE SAME weights, initial states, and targets
+(generated once with numpy), so step counts and NFE line up; timing is the
+median over N_GROUPS groups of N_TIMED steps after a compile/warmup step.
+
 A "VF eval" is one evaluation of the vector field for one batch element, so
 a batched call counts `batch` evals (both frameworks batch identically).
 
 Prints ONE json line:
   {"metric": ..., "value": N, "unit": "vf_evals_per_sec", "vs_baseline": N}
+
+Also embeds `tpu_accuracy`: an on-TPU accuracy/step-count check at
+rtol=1e-7 against the closed-form solution of a linear problem at a large
+time offset (the compensated f32-time contract; CPU-x64 reference step
+count computed on the host CPU backend).
 """
 import json
+import statistics
 import sys
 import time
 
@@ -22,10 +32,22 @@ BATCH = 1024
 HIDDEN = 64
 T_POINTS = 10
 RTOL, ATOL = 1e-7, 1e-9
-N_TIMED = 10
+N_TIMED = 5
+N_GROUPS = 5
 
 
-def bench_jax():
+def make_shared_init():
+    rng = np.random.RandomState(0)
+    w1 = (rng.randn(2, HIDDEN) * 0.1).astype(np.float32)
+    b1 = np.zeros(HIDDEN, np.float32)
+    w2 = (rng.randn(HIDDEN, 2) * 0.1).astype(np.float32)
+    b2 = np.zeros(2, np.float32)
+    y0 = rng.randn(BATCH, 2).astype(np.float32)
+    target = rng.randn(BATCH, 2).astype(np.float32)
+    return (w1, b1, w2, b2), y0, target
+
+
+def bench_jax(shared):
     import jax
     # TPU default matmul precision is bf16: at rtol=1e-7 that pollutes the
     # embedded error estimate and inflates step counts ~30x. Full-f32
@@ -33,17 +55,17 @@ def bench_jax():
     jax.config.update("jax_default_matmul_precision", "float32")
     import jax.numpy as jnp
     import torchdiffeq_tpu as tde
-    from torchdiffeq_tpu.models import init_mlp, mlp_apply
 
-    dtype = jnp.float32
-    key = jax.random.PRNGKey(0)
-    params = init_mlp(key, [2, HIDDEN, 2], scale=0.1, dtype=dtype)
-    y0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 2), dtype)
-    target = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 2), dtype)
-    t = jnp.linspace(0.0, 1.0, T_POINTS, dtype=dtype)
+    (w1, b1, w2, b2), y0_np, target_np = shared
+    params = [dict(w=jnp.asarray(w1), b=jnp.asarray(b1)),
+              dict(w=jnp.asarray(w2), b=jnp.asarray(b2))]
+    y0 = jnp.asarray(y0_np)
+    target = jnp.asarray(target_np)
+    t = jnp.linspace(0.0, 1.0, T_POINTS, dtype=jnp.float32)
 
     def field(tt, yy, p):
-        return mlp_apply(p, yy ** 3)
+        h = jnp.tanh((yy ** 3) @ p[0]['w'] + p[0]['b'])
+        return h @ p[1]['w'] + p[1]['b']
 
     def loss_fn(params):
         ys = tde.odeint_adjoint(field, y0, t, rtol=RTOL, atol=ATOL,
@@ -57,10 +79,11 @@ def bench_jax():
                                         params, grads)
         return loss, params
 
-    # Exact VF-call count (forward + adjoint backward).  Python counters
-    # don't survive closure_convert (it replays a jaxpr), so count with
-    # jax.debug.callback, which is preserved through jit/vjp/while_loop and
-    # fires once per *executed* VF evaluation.  Run on the host CPU backend.
+    # Exact VF-call counts (forward / forward+adjoint backward).  Python
+    # counters don't survive closure_convert (it replays a jaxpr), so count
+    # with jax.debug.callback, which is preserved through jit/vjp/while_loop
+    # and fires once per *executed* VF evaluation.  Run on the host CPU
+    # backend.
     count = [0]
 
     def _bump(_):
@@ -68,15 +91,24 @@ def bench_jax():
 
     def counting_field(tt, yy, p):
         jax.debug.callback(_bump, tt)
-        return mlp_apply(p, yy ** 3)
-
-    def counted_loss(params):
-        ys = tde.odeint_adjoint(counting_field, y0, t, rtol=RTOL, atol=ATOL,
-                                method='dopri5', args=(params,))
-        return jnp.mean((ys - target[None]) ** 2)
+        return field(tt, yy, p)
 
     cpu = jax.local_devices(backend='cpu')[0]
     with jax.default_device(cpu):
+        ys = jax.jit(lambda p: tde.odeint(counting_field, y0, t, rtol=RTOL,
+                                          atol=ATOL, method='dopri5',
+                                          args=(p,)))(params)
+        jax.block_until_ready(ys)
+        jax.effects_barrier()
+        nfe_fwd = count[0]
+        count[0] = 0
+
+        def counted_loss(params):
+            ys = tde.odeint_adjoint(counting_field, y0, t, rtol=RTOL,
+                                    atol=ATOL, method='dopri5',
+                                    args=(params,))
+            return jnp.mean((ys - target[None]) ** 2)
+
         g = jax.jit(jax.grad(counted_loss))(params)
         jax.block_until_ready(g)
     jax.effects_barrier()  # drain pending debug callbacks before reading
@@ -86,28 +118,71 @@ def bench_jax():
     loss, params2 = train_step(params)
     jax.block_until_ready((loss, params2))
 
-    t0 = time.perf_counter()
+    group_times = []
     p = params
-    for _ in range(N_TIMED):
-        loss, p = train_step(p)
-    jax.block_until_ready((loss, p))
-    dt = (time.perf_counter() - t0) / N_TIMED
+    for _ in range(N_GROUPS):
+        t0 = time.perf_counter()
+        for _ in range(N_TIMED):
+            loss, p = train_step(p)
+        jax.block_until_ready((loss, p))
+        group_times.append((time.perf_counter() - t0) / N_TIMED)
+    dt = statistics.median(group_times)
 
     evals_per_sec = nfe_per_step * BATCH / dt
-    return dict(step_seconds=dt, nfe=nfe_per_step,
+    return dict(step_seconds=dt,
+                step_seconds_all=[round(g, 6) for g in group_times],
+                nfe=nfe_per_step, nfe_forward=nfe_fwd,
+                nfe_backward=nfe_per_step - nfe_fwd,
                 evals_per_sec=evals_per_sec, loss=float(loss),
                 backend=jax.default_backend())
 
 
-def bench_torch():
+def bench_jax_tpu_accuracy():
+    """On-TPU accuracy/step-count evidence at rtol=1e-7 (compensated f32
+    time): linear decay on t in [16384, 16392], closed-form solution."""
+    import jax
+    import jax.numpy as jnp
+    import torchdiffeq_tpu as tde
+
+    lam = 0.3
+    T0 = 16384.0
+    f = lambda tt, yy: -lam * yy
+    t = jnp.linspace(T0, T0 + 8.0, 9, dtype=jnp.float32)
+    y0 = jnp.ones((1,), jnp.float32)
+
+    ys, st = tde.odeint_with_stats(f, y0, t, rtol=1e-7, atol=1e-9)
+    jax.block_until_ready(ys)
+    exact = np.exp(-lam * (np.asarray(t, np.float64) - T0))
+    err = float(np.max(np.abs(np.asarray(ys[:, 0], np.float64) - exact)))
+
+    # reference step count: the same solve in f64 on the host CPU backend
+    cpu = jax.local_devices(backend='cpu')[0]
+    with jax.default_device(cpu):
+        _, st64 = tde.odeint_with_stats(f, y0.astype(jnp.float64),
+                                        t.astype(jnp.float64),
+                                        rtol=1e-7, atol=1e-9)
+    return dict(backend=jax.default_backend(),
+                max_abs_err=err, n_steps_tpu=int(st.n_steps),
+                n_steps_cpu_f64=int(st64.n_steps),
+                step_ratio=round(int(st.n_steps) / max(int(st64.n_steps), 1),
+                                 4),
+                error_code=int(st.error_code))
+
+
+def bench_torch(shared):
     import torch
     sys.path.insert(0, '/root/reference')
-    from torchdiffeq import odeint_adjoint
+    from torchdiffeq import odeint, odeint_adjoint
 
-    torch.manual_seed(0)
+    (w1, b1, w2, b2), y0_np, target_np = shared
     net = torch.nn.Sequential(
         torch.nn.Linear(2, HIDDEN), torch.nn.Tanh(),
         torch.nn.Linear(HIDDEN, 2))
+    with torch.no_grad():
+        net[0].weight.copy_(torch.from_numpy(w1.T))
+        net[0].bias.copy_(torch.from_numpy(b1))
+        net[2].weight.copy_(torch.from_numpy(w2.T))
+        net[2].bias.copy_(torch.from_numpy(b2))
 
     class Field(torch.nn.Module):
         def __init__(self):
@@ -120,10 +195,15 @@ def bench_torch():
             return self.net(y ** 3)
 
     field = Field()
-    y0 = torch.randn(BATCH, 2)
-    target = torch.randn(BATCH, 2)
+    y0 = torch.from_numpy(y0_np)
+    target = torch.from_numpy(target_np)
     t = torch.linspace(0.0, 1.0, T_POINTS)
     opt = torch.optim.SGD(field.parameters(), lr=1e-3)
+
+    with torch.no_grad():
+        field.nfe = 0
+        odeint(field, y0, t, rtol=RTOL, atol=ATOL, method='dopri5')
+        nfe_fwd = field.nfe
 
     def step():
         opt.zero_grad()
@@ -143,15 +223,21 @@ def bench_torch():
     dt = (time.perf_counter() - t0) / n_timed
     nfe_per_step = field.nfe / n_timed
 
-    return dict(step_seconds=dt, nfe=nfe_per_step,
+    return dict(step_seconds=dt, nfe=nfe_per_step, nfe_forward=nfe_fwd,
+                nfe_backward=nfe_per_step - nfe_fwd,
                 evals_per_sec=nfe_per_step * BATCH / dt,
                 loss=float(loss))
 
 
 def main():
-    jax_res = bench_jax()
+    shared = make_shared_init()
+    jax_res = bench_jax(shared)
     try:
-        torch_res = bench_torch()
+        acc_res = bench_jax_tpu_accuracy()
+    except Exception as e:  # pragma: no cover
+        acc_res = dict(error=str(e)[:200])
+    try:
+        torch_res = bench_torch(shared)
         vs_baseline = jax_res['evals_per_sec'] / torch_res['evals_per_sec']
     except Exception as e:  # torch baseline unavailable
         torch_res = dict(error=str(e)[:200])
@@ -168,7 +254,8 @@ def main():
         "detail": {"jax": {k: (round(v, 6) if isinstance(v, float) else v)
                            for k, v in jax_res.items()},
                    "torch_cpu": {k: (round(v, 6) if isinstance(v, float) else v)
-                                 for k, v in torch_res.items()}},
+                                 for k, v in torch_res.items()},
+                   "tpu_accuracy": acc_res},
     }))
 
 
