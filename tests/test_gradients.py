@@ -56,11 +56,14 @@ def test_gradcheck_y0(method):
         kwargs = dict(options=dict(step_size=0.1, max_order=4))
     tol = dict(rtol=1e-9, atol=1e-11) if method in ADAPTIVE_METHODS else {}
     if method == 'dopri8':
-        # dopri8 takes very few (8th-order) steps, so the quartic dense
-        # output dominates the solution error and accept/reject flips under
-        # FD perturbation are large; the reference's own accuracy tests
-        # demand 1e-12/1e-14 for dopri8 (odeint_tests.py:29-32).
-        tol = dict(rtol=1e-12, atol=1e-14)
+        # dopri8 takes very few (8th-order) steps, so the O(h^5) quartic
+        # dense output dominates the discrete solution error: FD (which
+        # differentiates the discrete map, interp error included) then
+        # disagrees with the continuous adjoint at the interp-error level.
+        # Capping the step size shrinks the interp error out of the
+        # comparison without changing the gradient path under test.
+        tol = dict(rtol=1e-10, atol=1e-12)
+        kwargs = dict(options=dict(max_step=0.1))
 
     def loss(y0_):
         ys = tde.odeint(f, y0_, t_points, method=method, **tol, **kwargs)
@@ -90,7 +93,7 @@ def test_gradcheck_t(method):
         kwargs = dict(options=dict(max_order=4))
     tol = dict(rtol=1e-10, atol=1e-12) if method in ADAPTIVE_METHODS else {}
     if method == 'dopri8':
-        tol = dict(rtol=1e-12, atol=1e-14)  # see test_gradcheck_y0
+        kwargs = dict(options=dict(max_step=0.1))  # see test_gradcheck_y0
 
     def loss(t_):
         ys = tde.odeint(f, y0, t_, method=method, **tol, **kwargs)

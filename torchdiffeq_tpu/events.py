@@ -150,6 +150,14 @@ def odeint_event(func, y0, t0, *, event_fn, reverse_time=False,
     event_t, solution = odeint_interface(func, y0, t, event_fn=event_fn,
                                          args=args, **kwargs)
 
+    # Replay-mode event solves (options=dict(replay_grad=True)) already
+    # return a differentiable event time and state — exact discrete
+    # gradients from solvers/replay.py — so the IFT reroute (which would
+    # stop-gradient them and substitute the continuous-solution IFT
+    # estimate) must not be applied.
+    if bool((kwargs.get('options') or {}).get('replay_grad')):
+        return event_t, solution
+
     # Flatten for the IFT computation, mirroring the reference's re-run of
     # _check_inputs (odeint.py:171).
     prob = check_inputs(func, y0, t, 0.0, 0.0, None, None, event_fn, SOLVERS,

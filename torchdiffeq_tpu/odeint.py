@@ -238,19 +238,27 @@ def _odeint_impl(func, y0, t, rtol, atol, method, options, event_fn, args,
         ys_flat, stats = _solve_normalised(prob)
         return _finalise(prob, ys_flat), stats
 
-    if (prob.event_fn is None and spec['kind'] == 'adaptive'
+    if (spec['kind'] == 'adaptive'
             and prob.options.get('replay_grad', False)):
         # exact discretise-then-optimise gradients (+ jvp / higher-order AD)
-        # by re-executing the recorded step sequence as a lax.scan
+        # by re-executing the recorded step sequence as a lax.scan;
+        # max_segments=None auto-sizes via a concrete probe (replay.py)
+        from .misc import time_sign
         from .solvers import replay
         opts = dict(prob.options)
         opts.pop('replay_grad', None)
-        max_segments = opts.pop('max_segments', 256)
+        max_segments = opts.pop('max_segments', None)
         prob2 = prob._replace(options=opts)
         cfg = _adaptive_config(prob2, spec['tableau'])
-        ys_flat, stats = replay.integrate_replay(
-            prob.func, prob.y0, prob.t, cfg, max_segments)
-        return _finalise(prob, ys_flat), stats
+        if prob.event_fn is None:
+            ys_flat, stats = replay.integrate_replay(
+                prob.func, prob.y0, prob.t, cfg, max_segments)
+            return _finalise(prob, ys_flat), stats
+        event_t, y_event, stats = replay.integrate_replay_event(
+            prob.func, prob.y0, prob.t[0], prob.event_fn, cfg, max_segments)
+        ys2 = jnp.stack([prob.y0, y_event])
+        event_t = time_sign(jnp.asarray(t)) * event_t
+        return (event_t, _finalise(prob, ys2)), stats
 
     # Adaptive methods and event solves: continuous-adjoint custom_vjp with
     # backward settings equal to the forward settings (see module docstring).
