@@ -107,8 +107,11 @@ FIXED_IMPLICIT_METHODS = ('implicit_euler', 'implicit_midpoint', 'trapezoid',
                           'trbdf2')
 FIXED_METHODS = FIXED_EXPLICIT_METHODS + FIXED_IMPLICIT_METHODS
 ADAMS_METHODS = ('explicit_adams', 'implicit_adams')
-ADAPTIVE_METHODS = ('adaptive_heun', 'fehlberg2', 'bosh3', 'tsit5', 'dopri5',
-                    'dopri8')
+ADAPTIVE_EXPLICIT_METHODS = ('adaptive_heun', 'fehlberg2', 'bosh3', 'tsit5',
+                             'dopri5', 'dopri8')
+# beyond the reference: adaptive implicit (stiff) ESDIRK tier
+ADAPTIVE_IMPLICIT_METHODS = ('kvaerno3', 'kvaerno5')
+ADAPTIVE_METHODS = ADAPTIVE_EXPLICIT_METHODS + ADAPTIVE_IMPLICIT_METHODS
 SCIPY_METHODS = ('scipy_solver',)
 IMPLICIT_METHODS = FIXED_IMPLICIT_METHODS
 METHODS = FIXED_METHODS + ADAPTIVE_METHODS + SCIPY_METHODS

@@ -26,7 +26,8 @@ GRAD_METHODS = ('dopri5', 'dopri8', 'tsit5', 'bosh3', 'fehlberg2',
                 'adaptive_heun', 'euler', 'midpoint', 'rk4', 'heun2',
                 'heun3', 'explicit_adams', 'implicit_adams', 'fixed_adams',
                 'implicit_euler', 'implicit_midpoint', 'trapezoid', 'gl4',
-                'gl6', 'radauIIA3', 'radauIIA5', 'sdirk2', 'trbdf2')
+                'gl6', 'radauIIA3', 'radauIIA5', 'sdirk2', 'trbdf2',
+                'kvaerno3', 'kvaerno5')
 
 
 def _fd_grad(fn, x, eps=1e-6):
@@ -55,6 +56,10 @@ def test_gradcheck_y0(method):
         # region — the reference behaves identically); cap the order.
         kwargs = dict(options=dict(step_size=0.1, max_order=4))
     tol = dict(rtol=1e-9, atol=1e-11) if method in ADAPTIVE_METHODS else {}
+    if method == 'kvaerno3':
+        # 3rd order: 1e-9 needs thousands of Newton-stage steps; test at a
+        # budget where the run stays cheap (FD slack widened to match)
+        tol = dict(rtol=1e-7, atol=1e-9)
     if method == 'dopri8':
         # dopri8 takes very few (8th-order) steps, so the O(h^5) quartic
         # dense output dominates the discrete solution error: FD (which
@@ -75,7 +80,8 @@ def test_gradcheck_y0(method):
     # level of (tolerance / fd_eps) because the accepted-step sequence
     # changes discontinuously under perturbation, so the comparison against
     # the continuous-adjoint gradient plateaus around 1e-3.
-    rtol = 2e-2 if method in ('bosh3', 'adaptive_heun', 'fehlberg2') else 2e-4
+    rtol = (2e-2 if method in ('bosh3', 'adaptive_heun', 'fehlberg2',
+                               'kvaerno3') else 2e-4)
     np.testing.assert_allclose(g, g_fd, rtol=rtol, atol=1e-6,
                                err_msg=f"method={method}")
 
@@ -92,6 +98,8 @@ def test_gradcheck_t(method):
     if method in ('explicit_adams', 'implicit_adams', 'fixed_adams'):
         kwargs = dict(options=dict(max_order=4))
     tol = dict(rtol=1e-10, atol=1e-12) if method in ADAPTIVE_METHODS else {}
+    if method == 'kvaerno3':
+        tol = dict(rtol=1e-7, atol=1e-9)  # see test_gradcheck_y0
     if method == 'dopri8':
         kwargs = dict(options=dict(max_step=0.1))  # see test_gradcheck_y0
 
@@ -101,8 +109,11 @@ def test_gradcheck_t(method):
 
     g = np.asarray(jax.grad(loss)(t_points))
     g_fd = _fd_grad(loss, t_points, eps=1e-6)
-    rtol = (2e-3 if method in ('bosh3', 'adaptive_heun', 'fehlberg2')
-            else 1e-4)
+    # kvaerno5: the cubic-Hermite dense output (4th order) caps interpolated-
+    # output accuracy below the 5th-order solution; FD differentiates that
+    # interp error, the adjoint doesn't — observed mismatch ~1.6e-4.
+    rtol = (2e-3 if method in ('bosh3', 'adaptive_heun', 'fehlberg2',
+                               'kvaerno3', 'kvaerno5') else 1e-4)
     np.testing.assert_allclose(g, g_fd, rtol=rtol, atol=1e-6,
                                err_msg=f"method={method}")
 

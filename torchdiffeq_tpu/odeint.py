@@ -48,8 +48,15 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
                  {'first_step', 'step_t', 'jump_t', 'safety', 'ifactor',
                   'dfactor', 'min_step', 'max_step', 'max_num_steps',
                   'controller', 'pcoeff', 'icoeff', 'replay_grad',
-                  'max_segments', 'compensated_time'})
+                  'max_segments', 'compensated_time', 'stage_tol',
+                  'max_iters'})
+    step_fn = None
+    if tableau.implicit:
+        from .solvers.adaptive_implicit import make_esdirk_step_fn
+        step_fn = make_esdirk_step_fn(stage_tol=opts.get('stage_tol'),
+                                      max_iters=opts.get('max_iters', 100))
     return adaptive_rk.AdaptiveConfig(
+        step_fn=step_fn,
         tableau=tableau, rtol=prob.rtol, atol=prob.atol, norm=prob.norm,
         first_step=opts.get('first_step'),
         step_t=opts.get('step_t'), jump_t=opts.get('jump_t'),

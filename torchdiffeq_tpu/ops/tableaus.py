@@ -371,3 +371,74 @@ TRBDF2 = _tab(
     ],
     c_sol=[_TRBDF_BETA, _TRBDF_BETA, _TRBDF_GAMMA], c_error=[], order=2,
     implicit=True, sdirk=True)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive implicit (stiff) methods: ESDIRK with embedded error estimates.
+#
+# Beyond the reference's API (it has fixed-grid implicit only); coefficients
+# from Kvaerno (2004), "Singly diagonally implicit Runge-Kutta methods with
+# an explicit first stage", BIT Numerical Mathematics 44.  Both tableaus are
+# stiffly accurate (y1 = last stage, so f1 = f(t1, y1) carries FSAL-style)
+# with an explicit first stage, L-stable in the advancing solution, and an
+# embedded lower-order solution for the step-size controller.  Order
+# conditions verified to machine precision in tests/test_convergence.py.
+#
+# The dense-output weights `c_mid` are chosen so the driver's quartic fit
+# reduces to the cubic Hermite through (y0, f0, y1, f1):
+#   y_mid = (y0 + y1)/2 + dt (f0 - f1)/8   <=>   c_mid = b/2 + (e0 - es)/8.
+# ---------------------------------------------------------------------------
+
+
+def _hermite_c_mid(b):
+    c_mid = np.asarray(b, dtype=np.float64) / 2.0
+    c_mid[0] += 0.125
+    c_mid[-1] -= 0.125
+    return c_mid
+
+
+def _kvaerno3():
+    # gamma: the real root of x^3 - 3x^2 + 3x/2 - 1/6 in (0.3, 0.6)
+    r = np.roots([1.0, -3.0, 1.5, -1.0 / 6.0])
+    g = float([x.real for x in r
+               if abs(x.imag) < 1e-12 and 0.3 < x.real < 0.6][0])
+    a2 = [g, g]
+    a3 = [(-4 * g ** 2 + 6 * g - 1) / (4 * g), (-2 * g + 1) / (4 * g), g]
+    b = [(6 * g - 1) / (12 * g), -1 / ((24 * g - 12) * g),
+         (-6 * g ** 2 + 6 * g - 1) / (6 * g - 3), g]
+    b_hat = a3 + [0.0]
+    return _tab(
+        alpha=[0.0, 2 * g, 1.0, 1.0],
+        beta_rows=[[0.0], a2, a3, b],
+        c_sol=b,
+        c_error=list(np.asarray(b) - np.asarray(b_hat)),
+        c_mid=_hermite_c_mid(b),
+        order=3, implicit=True, sdirk=True)
+
+
+KVAERNO3 = _kvaerno3()
+
+
+def _kvaerno5():
+    g = 0.26
+    a2 = [g, g]
+    a3 = [0.13, 0.84033320996790809, g]
+    a4 = [0.22371961478320505, 0.47675532319799699, -0.06470895363112615, g]
+    a5 = [0.16648564323248321, 0.10450018841591720, 0.03631482272098715,
+          -0.13090704451073998, g]
+    a6 = [0.13855640231268224, 0.0, -0.04245337201752043,
+          0.02446657898003141, 0.61943039072480676, g]
+    b = [0.13659751177640291, 0.0, -0.05496908796538376,
+         -0.04118626728321046, 0.62993304899016403, 0.06962479448202728, g]
+    b_hat = a6 + [0.0]
+    return _tab(
+        alpha=[0.0, 0.52, 1.230333209967908, 0.8957659843500759,
+               0.43639360985864756, 1.0, 1.0],
+        beta_rows=[[0.0], a2, a3, a4, a5, a6, b],
+        c_sol=b,
+        c_error=list(np.asarray(b) - np.asarray(b_hat)),
+        c_mid=_hermite_c_mid(b),
+        order=5, implicit=True, sdirk=True)
+
+
+KVAERNO5 = _kvaerno5()

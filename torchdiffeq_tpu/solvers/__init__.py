@@ -39,6 +39,11 @@ SOLVERS = {
     'gl6': dict(kind='firk', tableau=tb.GAUSS_LEGENDRE_6),
     'sdirk2': dict(kind='dirk', tableau=tb.SDIRK2),
     'trbdf2': dict(kind='dirk', tableau=tb.TRBDF2),
+    # Adaptive implicit (stiff) tier — EXTENSION over the reference's
+    # 23 methods, which has no adaptive implicit solver (SURVEY.md §2):
+    # ESDIRK with embedded error under the same while_loop driver.
+    'kvaerno3': dict(kind='adaptive', tableau=tb.KVAERNO3),
+    'kvaerno5': dict(kind='adaptive', tableau=tb.KVAERNO5),
     # Backward compatibility alias, as in the reference.
     'fixed_adams': dict(kind='adams', implicit=True),
     'scipy_solver': dict(kind='scipy'),

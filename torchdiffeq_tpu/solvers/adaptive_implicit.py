@@ -1,0 +1,150 @@
+"""Adaptive implicit (stiff) tier: ESDIRK step kernel for the adaptive driver.
+
+A capability EXTENSION over the reference, which only offers fixed-grid
+implicit methods (torchdiffeq/_impl/rk_common.py:378-558): here the Kvaerno
+3(2) and 5(4) ESDIRK tableaus (ops/tableaus.py) run under the same
+`lax.while_loop` adaptive driver as dopri5 — embedded error estimate,
+I/PI step-size controller, step_t/jump_t, dense output, events, continuous
+adjoint, and replay-mode gradients all included.
+
+Design:
+
+* The driver is parameterised by `AdaptiveConfig.step_fn`; this module
+  provides `make_esdirk_step_fn`, a drop-in for `runge_kutta_step` with the
+  same (y1, f1, y1_error, k) contract.  Both Kvaerno tableaus are stiffly
+  accurate with an explicit first stage, so f1 = k[-1] carries FSAL-style
+  and the first stage reuses it — one explicit VF evaluation per step, the
+  reference's NFE convention for implicit steppers
+  (fixed_grid_implicit.py:239-242).
+* Each diagonal stage solves  k = f(t_i, base + dt*gamma*k)  with Newton
+  (exact `jax.jacfwd` Jacobian) wrapped in `jax.lax.custom_root`, so the
+  converged stage is differentiable in BOTH modes (vjp for replay-mode /
+  direct gradients, jvp for forward-mode) via the implicit function theorem
+  — no backprop through Newton iterations.
+* A non-converged stage inflates the embedded error estimate instead of
+  erroring: the controller rejects the step and shrinks dt, which is the
+  correct stiff-solver response (smaller dt contracts the stage fixed
+  point).  This replaces the reference's try/except on singular factors
+  (rk_common.py:449-451) with branch-free compiled control flow.
+
+TPU notes: the n-wide `jacfwd` per Newton iteration is batched MXU work
+(cheap) while extra *iterations* are sequential (expensive) — the exact-
+Jacobian/few-iterations trade is the right one here, as in
+fixed_grid_implicit._newton.  `jnp.linalg.solve` requires f32 on TPU (no
+f64 LU); run f64 stiff solves on CPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..misc import Perturb, real_dtype
+from ..ops.rk_step import weighted_sum
+
+
+def _solve_tol(dtype):
+    # same convention as the fixed-grid implicit tier (reference
+    # rk_common.py:425-429)
+    return 1e-8 if jnp.dtype(dtype) == jnp.float64 else 1e-6
+
+
+def _newton(res_fn, x0, tol, max_iters):
+    """Newton with exact jacfwd Jacobian and a non-finite bailout.
+    Returns (x, converged)."""
+    f0 = res_fn(x0)
+
+    def cond(c):
+        x, f, it, bailed = c
+        return (jnp.linalg.norm(f, 2) >= tol) & (~bailed) & (it < max_iters)
+
+    def body(c):
+        x, f, it, bailed = c
+        J = jax.jacfwd(res_fn)(x)
+        s = -jnp.linalg.solve(J, f)
+        bail = ~jnp.all(jnp.isfinite(s))
+        s = jnp.where(bail, jnp.zeros_like(s), s)
+        x_new = x + s
+        f_new = res_fn(x_new)
+        x = jnp.where(bail, x, x_new)
+        f = jnp.where(bail, f, f_new)
+        return (x, f, it + 1, bailed | bail)
+
+    x, f, _, _ = jax.lax.while_loop(
+        cond, body, (x0, f0, jnp.int32(0), jnp.asarray(False)))
+    # convergence flag as a float: custom_root(has_aux=True) differentiates
+    # the aux structurally, and bool primals reject the junk tangent
+    conv = (jnp.linalg.norm(f, 2) < tol).astype(x.real.dtype)
+    return x, jax.lax.stop_gradient(conv)
+
+
+def _stage_root(func, ti, base, dt_gamma, k_guess, tol, max_iters, perturb):
+    """Solve k = f(ti, base + dt_gamma*k); IFT-differentiable both modes.
+
+    Returns (k, converged)."""
+
+    def residual(kk):
+        return kk - func(ti, base + dt_gamma * kk, perturb=perturb)
+
+    def solve(res_fn, x0):
+        return _newton(res_fn, x0, tol, max_iters)
+
+    def tangent_solve(g, y):
+        # g is linear (the IFT linearisation); materialise its matrix at
+        # zero so the solve is *linear in y* — required for reverse-mode
+        # transposition of custom_root (a jacfwd at y itself silently
+        # breaks the transpose)
+        J = jax.jacfwd(g)(jnp.zeros_like(y))
+        return jnp.linalg.solve(J, y)
+
+    return jax.lax.custom_root(residual, k_guess, solve, tangent_solve,
+                               has_aux=True)
+
+
+def make_esdirk_step_fn(stage_tol=None, max_iters=100):
+    """Build a `step_fn` for `AdaptiveConfig` from an ESDIRK tableau
+    (implicit=True, explicit first stage, stiffly accurate)."""
+
+    def step_fn(func, y0, f0, t0, dt, t1, tab):
+        t_dtype = real_dtype(y0.dtype)
+        t0c = jnp.asarray(t0).astype(t_dtype)
+        dtc = jnp.asarray(dt).astype(t_dtype)
+        t1c = jnp.asarray(t1).astype(t_dtype)
+        tol = _solve_tol(y0.dtype) if stage_tol is None else stage_tol
+
+        s = tab.n_stages
+        alpha = np.asarray(tab.alpha)
+        beta = np.asarray(tab.beta)
+        assert tab.implicit and float(alpha[0]) == 0.0 \
+            and not np.any(beta[0]), "step_fn requires an ESDIRK tableau"
+
+        k = [f0]
+        all_conv = jnp.ones((), dtype=real_dtype(y0.dtype))
+        for i in range(1, s):
+            gamma = float(beta[i, i])
+            base = y0 + weighted_sum(beta[i, :i], k, dtc)
+            if float(alpha[i]) == 1.0:
+                ti, perturb = t1c, Perturb.PREV
+            else:
+                ti = t0c + float(alpha[i]) * dtc
+                perturb = Perturb.NONE
+            dt_gamma = (dtc * gamma).astype(y0.dtype)
+            # previous stage slope is the standard ESDIRK predictor
+            k_i, conv = _stage_root(func, ti, base, dt_gamma, k[i - 1],
+                                    tol, max_iters, perturb)
+            k.append(k_i)
+            all_conv = all_conv * conv
+
+        y1 = y0 + weighted_sum(tab.c_sol, k, dtc)
+        f1 = k[-1]  # stiffly accurate: the last stage IS f(t1, y1)
+        y1_error = weighted_sum(tab.c_error, k, dtc)
+        # Non-convergence => force rejection via the error estimate (see
+        # module docstring); the magnitude just needs error_ratio > 1.
+        big = jnp.asarray(1e10, dtype=y1_error.dtype)
+        y1_error = jnp.where(all_conv > 0.5, y1_error,
+                             y1_error + big * jnp.ones_like(y1_error))
+        return y1, f1, y1_error, jnp.stack(k)
+
+    return step_fn

@@ -86,6 +86,13 @@ class AdaptiveConfig(NamedTuple):
     # contract (rk_common.py:180-195) to ~49 mantissa bits.  No effect on
     # f64-time solves.
     compensated_time: bool = True
+    # Step kernel override: same contract as ops.rk_step.runge_kutta_step
+    # (used by the ESDIRK adaptive-implicit tier, adaptive_implicit.py).
+    step_fn: Any = None
+
+
+def _step_kernel(cfg: AdaptiveConfig):
+    return cfg.step_fn if cfg.step_fn is not None else runge_kutta_step
 
 
 def _setup(func, y0, t0, cfg: AdaptiveConfig, t_dtype):
@@ -187,8 +194,11 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
         dt = jnp.where(truncated, t1 - t0, dt)
 
     # --- the RK step -------------------------------------------------------
-    y1, f1, y1_err, k = runge_kutta_step(func, y0, f0, t0, dt, t1, tab)
-    nfe = len(tab.alpha)
+    y1, f1, y1_err, k = _step_kernel(cfg)(func, y0, f0, t0, dt, t1, tab)
+    # implicit steppers report one explicit eval per step (the FSAL carry);
+    # stage-solve residual evaluations are not user-visible NFE, matching
+    # the fixed-grid implicit convention (fixed_grid_implicit.py:239-242)
+    nfe = 1 if tab.implicit else len(tab.alpha)
 
     error_ratio = compute_error_ratio(y1_err, cfg.rtol, cfg.atol, y0, y1,
                                       cfg.norm)

@@ -46,7 +46,7 @@ from ..misc import Perturb
 from ..ops.interp import interp_fit
 from ..ops.rk_step import runge_kutta_step, weighted_sum
 from .adaptive_rk import (AdaptiveConfig, _Carry, _adaptive_step, _setup,
-                          _prep_tvals)
+                          _prep_tvals, _step_kernel)
 from .solution import Stats, OK, ERR_SEGMENT_OVERFLOW
 
 
@@ -167,7 +167,7 @@ def replay_integrate(func, y0, ts, cfg: AdaptiveConfig, times, count,
         # (t0, y), y1 == y, and nothing NaN-producing ever enters a where.
         t1 = jnp.where(active, times[i + 1], t0)
         dt = t1 - t0
-        y1, f1, _, k = runge_kutta_step(func, y, f, t0, dt, t1, tab)
+        y1, f1, _, k = _step_kernel(cfg)(func, y, f, t0, dt, t1, tab)
         f1 = _jump_reeval(func, f1, y1, t1, active, jump_t)
         dt_y = jnp.asarray(dt).astype(y.dtype)
         y_mid = y + weighted_sum(tab.c_mid, list(k), dt_y)
@@ -347,7 +347,7 @@ def _replay_to_event(func, y0, t0, event_fn, cfg, times, count, sign0,
         s0 = jnp.where(jnp.isfinite(times[i]), times[i], t0)
         s1 = jnp.where(active, times[i + 1], s0)
         dt = s1 - s0
-        y1, f1, _, k = runge_kutta_step(func, y, f, s0, dt, s1, tab)
+        y1, f1, _, k = _step_kernel(cfg)(func, y, f, s0, dt, s1, tab)
         f1 = _jump_reeval(func, f1, y1, s1, active, jump_t)
         dt_y = jnp.asarray(dt).astype(y.dtype)
         y_mid = y + weighted_sum(tab.c_mid, list(k), dt_y)
