@@ -10,6 +10,13 @@ Both frameworks consume THE SAME weights, initial states, and targets
 (generated once with numpy), so step counts and NFE line up; timing is the
 median over N_GROUPS groups of N_TIMED steps after a compile/warmup step.
 
+Timed steps are chained inside ONE jit call per group (a `lax.scan` over
+training steps — the standard JAX training-loop idiom).  This measures
+device throughput rather than this container's TPU-tunnel dispatch floor
+(~3 ms per jit call, larger than the entire forward solve; measured and
+reported as `dispatch_floor_ms`, with per-call step time kept in
+`step_seconds_percall` for comparison).
+
 A "VF eval" is one evaluation of the vector field for one batch element, so
 a batched call counts `batch` evals (both frameworks batch identically).
 
@@ -32,7 +39,7 @@ BATCH = 1024
 HIDDEN = 64
 T_POINTS = 10
 RTOL, ATOL = 1e-7, 1e-9
-N_TIMED = 5
+N_TIMED = 10
 N_GROUPS = 5
 
 
@@ -79,6 +86,16 @@ def bench_jax(shared):
                                         params, grads)
         return loss, params
 
+    @jax.jit
+    def train_many(params):
+        """N_TIMED chained training steps inside one compiled program."""
+        def body(p, _):
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            p = jax.tree_util.tree_map(lambda a, g: a - 1e-3 * g, p, grads)
+            return p, loss
+        params, losses = jax.lax.scan(body, params, None, length=N_TIMED)
+        return losses[-1], params
+
     # Exact VF-call counts (forward / forward+adjoint backward).  Python
     # counters don't survive closure_convert (it replays a jaxpr), so count
     # with jax.debug.callback, which is preserved through jit/vjp/while_loop
@@ -114,23 +131,47 @@ def bench_jax(shared):
     jax.effects_barrier()  # drain pending debug callbacks before reading
     nfe_per_step = count[0]
 
-    # warm up (compile)
+    # warm up (compile both programs)
     loss, params2 = train_step(params)
     jax.block_until_ready((loss, params2))
+    loss, params2 = train_many(params)
+    jax.block_until_ready((loss, params2))
+
+    # dispatch floor of a single jit call through the TPU tunnel (device
+    # work is negligible): context for the per-call timing below.
+    trivial = jax.jit(lambda p: p[0]['b'] * 2.0)
+    jax.block_until_ready(trivial(params))
+    floor_times = []
+    for _ in range(N_GROUPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(trivial(params))
+        floor_times.append(time.perf_counter() - t0)
+    dispatch_floor = statistics.median(floor_times)
 
     group_times = []
     p = params
     for _ in range(N_GROUPS):
         t0 = time.perf_counter()
-        for _ in range(N_TIMED):
-            loss, p = train_step(p)
+        loss, p = train_many(p)
         jax.block_until_ready((loss, p))
         group_times.append((time.perf_counter() - t0) / N_TIMED)
     dt = statistics.median(group_times)
 
+    percall_times = []
+    p = params
+    for _ in range(N_GROUPS):
+        t0 = time.perf_counter()
+        for _ in range(N_TIMED):
+            loss_pc, p = train_step(p)
+        jax.block_until_ready((loss_pc, p))
+        percall_times.append((time.perf_counter() - t0) / N_TIMED)
+    dt_percall = statistics.median(percall_times)
+
     evals_per_sec = nfe_per_step * BATCH / dt
     return dict(step_seconds=dt,
                 step_seconds_all=[round(g, 6) for g in group_times],
+                step_seconds_percall=round(dt_percall, 6),
+                dispatch_floor_ms=round(dispatch_floor * 1e3, 3),
                 nfe=nfe_per_step, nfe_forward=nfe_fwd,
                 nfe_backward=nfe_per_step - nfe_fwd,
                 evals_per_sec=evals_per_sec, loss=float(loss),
@@ -245,8 +286,9 @@ def main():
 
     print(json.dumps({
         "metric": ("VF evals/sec, batched spiral neural-ODE training step "
-                   "(dopri5 fwd + adjoint bwd, rtol=1e-7, batch %d) on %s "
-                   "vs torchdiffeq CPU" % (BATCH, jax_res['backend'])),
+                   "(dopri5 fwd + adjoint bwd, rtol=1e-7, batch %d, %d "
+                   "steps scanned per dispatch) on %s vs torchdiffeq CPU"
+                   % (BATCH, N_TIMED, jax_res['backend'])),
         "value": round(jax_res['evals_per_sec'], 1),
         "unit": "vf_evals_per_sec",
         "vs_baseline": (round(vs_baseline, 3)

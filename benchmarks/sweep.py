@@ -30,6 +30,56 @@ def timeit(fn, *args, n=10):
     return (time.perf_counter() - t0) / n
 
 
+def _count_nfe_train(f, y0, t, rtol, atol, params, tgt, adj_opts):
+    """Forward+backward VF-eval count via debug.callback on the host CPU."""
+    count = [0]
+
+    def _bump(_):
+        count[0] += 1
+
+    def cf(tt, yy, p):
+        jax.debug.callback(_bump, tt)
+        return f(tt, yy, p)
+
+    def loss(p):
+        ys = odeint_adjoint(cf, y0, t, rtol=rtol, atol=atol, args=(p,),
+                            adjoint_options=adj_opts)
+        return jnp.mean((ys[-1] - tgt[None]) ** 2)
+
+    cpu = jax.local_devices(backend='cpu')[0]
+    with jax.default_device(cpu):
+        g = jax.jit(jax.grad(loss))(params)
+        jax.block_until_ready(g)
+    jax.effects_barrier()
+    return count[0]
+
+
+PER_LANE_SECTION = """\
+## Fused per-lane adaptive dopri5 (Pallas), public API
+
+`parallel.odeint_per_sample(..., options=dict(pallas=True))` vs the vmap
+path, heterogeneously-stiff scalar ODEs, 5 output times, measured with
+dispatch amortised (20 solves inside one jit; a single jit call through
+the axon tunnel has a ~3 ms floor that otherwise masks device time):
+
+| batch | rtol | pallas (ms/solve) | vmap (ms/solve) | speedup |
+|---|---|---|---|---|
+| 1024 | 1e-4 | 0.53 | 0.61 | 1.15x |
+| 8192 | 1e-4 | 0.53 | 0.61 | 1.15x |
+| 65536 | 1e-4 | 1.08 | 1.44 | 1.33x |
+| 8192 | 1e-7 | 0.68 | 0.87 | 1.27x |
+
+Values agree with `vmap(odeint)` to ~2e-6 and per-lane step counts to ±2.
+
+Correction vs the round-1 note: the previously-reported "3.7x over vmap"
+compared against a *linearly batch-scaled* vmap number; vmap wall time is
+dispatch-bound and nearly flat in batch size, so the honest on-device
+speedup is the 1.15-1.35x above.  The kernel additionally removes the
+per-call dispatch floor entirely when solves are already inside a larger
+jit region.
+"""
+
+
 def main():
     lines = [
         "# TPU performance sweep (%s)" % jax.devices()[0].device_kind,
@@ -58,21 +108,67 @@ def main():
         lines.append(f"| {B} | {dt*1e3:.2f} | {nfe} | {nfe*B/dt:,.0f} |")
 
     # --- MXU-heavy field ---------------------------------------------------
+    # MFU is computed against the chip's bf16 matmul peak (197 TFLOP/s for
+    # a v5e / "v5 lite" core); 'f32' rows force full-f32 matmuls (which the
+    # MXU executes as multiple bf16 passes, so their MFU ceiling is ~1/6 of
+    # peak), 'bf16' rows use the TPU-default bf16 matmul passes with f32
+    # state/controller — the mixed-precision mode for tolerance >= ~1e-4.
+    PEAK_BF16 = 197e12
     lines += ["", "## Forward solve, 256-d state, 1024-wide MLP field", "",
-              "| batch | wall (ms) | TFLOP/s |", "|---|---|---|"]
+              "MFU vs the 197 TFLOP/s v5e bf16 matmul peak.", "",
+              "| batch | matmul prec | rtol | wall (ms) | TFLOP/s | MFU |",
+              "|---|---|---|---|---|---|"]
     p3 = init_mlp(jax.random.PRNGKey(0), [256, 1024, 256], scale=0.01,
                   dtype=jnp.float32)
     f3 = lambda tt, yy, p: mlp_apply(p, jnp.tanh(yy))
-    for B in [256, 4096]:
+    for B, prec, rtol, atol in [(256, 'float32', 1e-5, 1e-7),
+                                (4096, 'float32', 1e-5, 1e-7),
+                                (4096, 'bfloat16', 1e-3, 1e-5),
+                                (65536, 'bfloat16', 1e-3, 1e-5)]:
         y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 256),
                                jnp.float32) * 0.1
-        fwd = jax.jit(lambda y0: tde.odeint(f3, y0, t, rtol=1e-5, atol=1e-7,
-                                            args=(p3,)))
-        dt = timeit(fwd, y0)
-        _, s = tde.odeint_with_stats(f3, y0, t, rtol=1e-5, atol=1e-7,
-                                     args=(p3,))
+        with jax.default_matmul_precision(prec):
+            fwd = jax.jit(lambda y0: tde.odeint(f3, y0, t, rtol=rtol,
+                                                atol=atol, args=(p3,)))
+            dt = timeit(fwd, y0)
+            _, s = tde.odeint_with_stats(f3, y0, t, rtol=rtol, atol=atol,
+                                         args=(p3,))
         flops = int(s.nfe) * B * 2 * (256 * 1024 * 2)
-        lines.append(f"| {B} | {dt*1e3:.2f} | {flops/dt/1e12:.2f} |")
+        tfs = flops / dt / 1e12
+        lines.append(f"| {B} | {prec} | {rtol:g} | {dt*1e3:.2f} "
+                     f"| {tfs:.2f} | {tfs*1e12/PEAK_BF16*100:.1f}% |")
+
+    # --- MXU-heavy training step (fwd + adjoint bwd) ------------------------
+    lines += ["", "## Training step, 256-d state, 1024-wide MLP field "
+              "(fwd + adjoint bwd)", "",
+              "| batch | matmul prec | rtol | adjoint norm | wall (ms) "
+              "| TFLOP/s | MFU |", "|---|---|---|---|---|---|---|"]
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (256,), jnp.float32)
+    for B, prec, rtol, atol, anorm in [
+            (4096, 'float32', 1e-5, 1e-7, 'default'),
+            (4096, 'float32', 1e-5, 1e-7, 'seminorm'),
+            (4096, 'bfloat16', 1e-3, 1e-5, 'default'),
+            (4096, 'bfloat16', 1e-3, 1e-5, 'seminorm')]:
+        y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 256),
+                               jnp.float32) * 0.1
+        adj_opts = dict(norm='seminorm') if anorm == 'seminorm' else None
+
+        def loss3(p):
+            ys = odeint_adjoint(f3, y0, t, rtol=rtol, atol=atol, args=(p,),
+                                adjoint_options=adj_opts)
+            return jnp.mean((ys[-1] - tgt[None]) ** 2)
+
+        with jax.default_matmul_precision(prec):
+            g = jax.jit(jax.grad(loss3))
+            dt = timeit(g, p3, n=5)
+            # NFE: forward + backward, counted with a debug callback
+            nfe = _count_nfe_train(f3, y0, t, rtol, atol, p3, tgt, adj_opts)
+        # aug backward: 1 fwd-eval + 1 VJP (~2x fwd flops) per NFE; approximate
+        # total as 2x the per-eval matmul flops (fwd evals slightly over-counted)
+        flops = nfe * B * 2 * (256 * 1024 * 2) * 2
+        tfs = flops / dt / 1e12
+        lines.append(f"| {B} | {prec} | {rtol:g} | {anorm} | {dt*1e3:.2f} "
+                     f"| {tfs:.2f} | {tfs*1e12/PEAK_BF16*100:.1f}% |")
 
     # --- gradient paths ----------------------------------------------------
     lines += ["", "## Gradient paths, batch 1024, 2-D cubic field, T=10", "",
@@ -96,7 +192,13 @@ def main():
                         options=dict(grid_constructor=lambda f, y, tt: rk4_grid))
         return jnp.mean(ys ** 2)
 
+    def loss_semi(p):
+        ys = odeint_adjoint(field, y0, t, rtol=1e-7, atol=1e-9, args=(p,),
+                            adjoint_options=dict(norm='seminorm'))
+        return jnp.mean(ys ** 2)
+
     for name, loss in [("continuous adjoint (dopri5)", loss_adj),
+                       ("continuous adjoint, seminorm", loss_semi),
                        ("replay discrete grads (dopri5)", loss_replay),
                        ("scan backprop (rk4, h=0.1)", loss_rk4)]:
         g = jax.jit(jax.grad(loss))
@@ -125,6 +227,11 @@ def main():
                                                        dt_step, STEPS, (A,))),
                        y0T, n=5)
         lines.append(f"| {B} | {t_scan*1e3:.2f} | {t_pal*1e3:.2f} |")
+
+    # --- per-lane adaptive dopri5 (static section: measured with the
+    # dispatch-amortised harness in tests/test_pallas.py-style loops; kept
+    # verbatim so regenerating this file preserves the published numbers) --
+    lines += ["", PER_LANE_SECTION.rstrip()]
 
     out = "\n".join(lines) + "\n"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PERF.md")

@@ -95,6 +95,60 @@ def test_shard_params_annotation():
     assert spec == P(None, 'model')
 
 
+def test_adjoint_grads_under_shard_map_match_single_device():
+    """Continuous-adjoint parameter gradients computed inside shard_map
+    (per-shard backward solves + psum) match the single-device gradients.
+    Multi-chip evidence beyond compile: the custom_vjp adjoint, the
+    while_loop driver, and the collective all execute under the mesh."""
+    from functools import partial
+
+    mesh = make_mesh({'data': 8})
+    W = jnp.array([[-0.5, 0.8], [-0.8, -0.5]])
+    y0 = jnp.arange(1.0, 33.0).reshape(16, 2) / 16.0
+    tgt = jnp.ones((16, 2)) * 0.3
+    t = jnp.linspace(0., 1., 3)
+
+    def field(tt, yy, W_):
+        return jnp.tanh(yy) @ W_.T
+
+    def local_loss(W_, y0_, tgt_):
+        ys = tde.odeint_adjoint(field, y0_, t, rtol=1e-8, atol=1e-10,
+                                args=(W_,))
+        return jnp.sum((ys[-1] - tgt_) ** 2)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P('data'), P('data')),
+             out_specs=P(), check_vma=False)
+    def grads_sharded(W_, y0_, tgt_):
+        g = jax.grad(local_loss)(W_, y0_, tgt_)
+        return jax.lax.psum(g, 'data')
+
+    g_sh = jax.jit(grads_sharded)(W, y0, tgt)
+    g_ref = jax.grad(local_loss)(W, y0, tgt)
+    # per-shard controllers step differently from the batch-coupled
+    # single-device solve; agreement is at solve tolerance, not bitwise
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_event_solve_under_vmap_and_sharding():
+    """Per-sample event solves (vmap over odeint_event) execute on a
+    sharded batch and return the closed-form event times."""
+    mesh = make_mesh({'data': 8})
+    y0 = jnp.linspace(1.5, 4.0, 8)[:, None]  # (8, 1), decay to 1.0
+    y0_sharded = jax.device_put(y0, NamedSharding(mesh, P('data')))
+
+    def one(y0_):
+        f = lambda tt, yy: -yy
+        ev = lambda tt, yy: yy[0] - 1.0
+        event_t, ys = tde.odeint_event(f, y0_, 0.0, event_fn=ev,
+                                       rtol=1e-8, atol=1e-10)
+        return event_t
+
+    ets = jax.jit(jax.vmap(one))(y0_sharded)
+    np.testing.assert_allclose(np.asarray(ets), np.log(y0[:, 0]),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_per_sample_controller_stats():
     """Per-sample controllers: the stiff sample takes more steps than the
     easy one — impossible with the reference's shared batch norm."""

@@ -10,6 +10,11 @@ Differences forced (and enabled) by JAX/TPU:
 * The per-interval backward loop (reference adjoint.py:124-141) is a
   `lax.scan`; each interval re-solves the augmented ODE
   ``(vjp_t, y, vjp_y, vjp_params)`` with the adjoint method/tolerances.
+  Deviation: intervals after the first warm-start the step-size
+  controller from the previous interval's final proposed dt instead of
+  re-running the empirical initial-step probe (reference re-inits per
+  interval), and the T-1 output-time gradient dot products are one
+  batched VF call — ~2x fewer backward NFE at unchanged tolerances.
 * The augmented vector field evaluates one primal VF call + one VJP via
   `jax.vjp` (reference adjoint.py:72-105 uses autograd.grad).
 * Adjoint norms: default is ``max(|t|, ||y||, ||adj_y||, mixed(adj_params))``
@@ -187,27 +192,69 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
         th_bar0 = jax.tree_util.tree_map(jnp.zeros_like, theta_)
         aug0 = (jnp.zeros((), dtype=y_dtype), ys_flat[-1], g_ys[-1], th_bar0)
 
-        inputs = (t_int[1:][::-1], t_int[:-1][::-1],
-                  ys_flat[1:][::-1], ys_flat[:-1][::-1],
-                  g_ys[1:][::-1], g_ys[:-1][::-1])
+        # Effect of moving each measurement time t_i (reference
+        # adjoint.py:128-131): all T-1 dot products <f(t_i, y_i), g_i> are
+        # computed in ONE batched VF call up front instead of one
+        # *sequential* eval per interval inside the sweep.
+        f_at_out = jax.vmap(lambda tt, yy: f_dir(tt, yy, theta_))(
+            t_int[1:], ys_flat[1:])
+        dLds = jnp.einsum('tn,tn->t', f_at_out, g_ys[1:].astype(f_at_out.dtype))
 
-        def scan_body(aug, inp):
-            t_i, t_im1, y_i, y_im1, g_i, g_im1 = inp
+        # Warm-start gate: chaining the controller's proposed dt across
+        # intervals only makes sense for adaptive backward methods.
+        adj_kind = SOLVERS[adjoint_method or 'dopri5']['kind']
+        warm_start = (adj_kind == 'adaptive'
+                      and 'first_step' not in adj_opts)
+
+        def solve_interval(aug, t_i, t_im1, dLd, opts):
             vt, y, adj_y, th_bar = aug
-            # Effect of moving the measurement time t_i (adjoint.py:128-131).
-            f_eval = f_dir(t_i, y_i, theta_)
-            dLd = jnp.dot(jnp.ravel(f_eval), jnp.ravel(g_i))
             vt = vt - dLd.astype(vt.dtype)
-            sol, _ = _raw_odeint(aug_dyn, (vt, y, adj_y, th_bar),
-                                 jnp.stack([t_i, t_im1]),
-                                 adjoint_rtol, adjoint_atol, adjoint_method,
-                                 adj_opts, 'reverse')
+            sol, st = _raw_odeint(aug_dyn, (vt, y, adj_y, th_bar),
+                                  jnp.stack([t_i, t_im1]),
+                                  adjoint_rtol, adjoint_atol, adjoint_method,
+                                  opts, 'reverse')
             vt, y, adj_y, th_bar = jax.tree_util.tree_map(lambda a: a[1], sol)
-            y = y_im1                    # reset to forward-pass estimate
-            adj_y = adj_y + g_im1        # add gradient at this time point
-            return (vt, y, adj_y, th_bar), dLd
+            return (vt, y, adj_y, th_bar), st.final_dt
 
-        (vt, _, adj_y, th_bar), dLds = jax.lax.scan(scan_body, aug0, inputs)
+        def finish_interval(aug, y_im1, g_im1):
+            vt, _, adj_y, th_bar = aug
+            # reset y to the forward-pass estimate; add the output cotangent
+            return (vt, y_im1, adj_y + g_im1, th_bar)
+
+        # reversed per-interval arrays: index 0 is the latest interval
+        t_i_rev = t_int[1:][::-1]
+        t_im1_rev = t_int[:-1][::-1]
+        y_im1_rev = ys_flat[:-1][::-1]
+        g_im1_rev = g_ys[:-1][::-1]
+        dLd_rev = dLds[::-1]
+
+        # Latest interval unrolled: Hairer initial-step selection.  The
+        # remaining intervals warm-start the controller from the previous
+        # interval's final proposed dt (`first_step`), skipping the
+        # per-interval init probe — a deliberate deviation from the
+        # reference, which re-runs the empirical init in every interval
+        # (adjoint.py:124-141); the step controller keeps accuracy at the
+        # adjoint tolerances.  See COVERAGE.md.
+        aug, dt_ws = solve_interval(aug0, t_i_rev[0], t_im1_rev[0],
+                                    dLd_rev[0], adj_opts)
+        aug = finish_interval(aug, y_im1_rev[0], g_im1_rev[0])
+
+        if t_int.shape[0] > 2:
+            def scan_body(carry, inp):
+                aug, dt_prev = carry
+                t_i, t_im1, y_im1, g_im1, dLd = inp
+                opts = dict(adj_opts)
+                if warm_start:
+                    opts['first_step'] = dt_prev
+                aug, dt_next = solve_interval(aug, t_i, t_im1, dLd, opts)
+                aug = finish_interval(aug, y_im1, g_im1)
+                return (aug, dt_next), None
+
+            inputs = (t_i_rev[1:], t_im1_rev[1:], y_im1_rev[1:],
+                      g_im1_rev[1:], dLd_rev[1:])
+            (aug, _), _ = jax.lax.scan(scan_body, (aug, dt_ws), inputs)
+
+        vt, _, adj_y, th_bar = aug
         return adj_y, th_bar, vt, dLds
 
     if event_fn is None:
@@ -229,8 +276,9 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
             t_int = sign * t_
             adj_y, th_bar, vt, dLds = _backward_pass(y0_, t_int, ys_flat,
                                                      g_ys, theta_, sign)
+            # dLds is already in forward output order (dLds[j] ↔ t[j+1])
             time_vjps = jnp.concatenate(
-                [vt[None].astype(t_.dtype), dLds[::-1].astype(t_.dtype)])
+                [vt[None].astype(t_.dtype), dLds.astype(t_.dtype)])
             g_t = sign * time_vjps
             _, unravel_y0 = ravel_pytree(y0_)
             return unravel_y0(adj_y), g_t, th_bar

@@ -389,7 +389,7 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
 
     stats = Stats.make(nfe=carry.nfe, n_steps=carry.n_steps,
                        n_accepted=carry.n_acc, n_rejected=carry.n_rej,
-                       error_code=carry.err)
+                       error_code=carry.err, final_dt=carry.dt)
     return ys, stats
 
 
@@ -472,7 +472,7 @@ def integrate_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig):
     event_t, y_event = jax.lax.cond(at_event_already, _already, _found)
     stats = Stats.make(nfe=carry.nfe, n_steps=carry.n_steps,
                        n_accepted=carry.n_acc, n_rejected=carry.n_rej,
-                       error_code=carry.err)
+                       error_code=carry.err, final_dt=carry.dt)
     return event_t, y_event, stats
 
 

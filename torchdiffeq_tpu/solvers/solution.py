@@ -30,20 +30,25 @@ ERROR_MESSAGES = {
 
 
 class Stats(NamedTuple):
-    """Telemetry for one solve.  All fields are int32 scalars (possibly
+    """Telemetry for one solve.  Count fields are int32 scalars (possibly
     traced).  `nfe` counts vector-field evaluations, matching the NFE
-    bookkeeping convention of the reference tests (tests/problems.py:41)."""
+    bookkeeping convention of the reference tests (tests/problems.py:41).
+    `final_dt` is the controller's proposed next step size at the end of an
+    adaptive solve (0 for fixed-grid kinds) — used to warm-start chained
+    solves, e.g. the interval-by-interval adjoint backward sweep."""
     nfe: jnp.ndarray
     n_steps: jnp.ndarray
     n_accepted: jnp.ndarray
     n_rejected: jnp.ndarray
     error_code: jnp.ndarray
+    final_dt: jnp.ndarray
 
     @staticmethod
-    def make(nfe=0, n_steps=0, n_accepted=0, n_rejected=0, error_code=OK):
+    def make(nfe=0, n_steps=0, n_accepted=0, n_rejected=0, error_code=OK,
+             final_dt=0.0):
         i32 = lambda v: jnp.asarray(v, dtype=jnp.int32)
         return Stats(i32(nfe), i32(n_steps), i32(n_accepted), i32(n_rejected),
-                     i32(error_code))
+                     i32(error_code), jnp.asarray(final_dt))
 
     def raise_if_error(self):
         """Host-side check (blocks on the device value): raise on a nonzero
