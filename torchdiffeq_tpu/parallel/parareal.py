@@ -1,0 +1,160 @@
+"""Parallel-in-time integration (Parareal) over a TPU device mesh.
+
+No reference counterpart: torchdiffeq is strictly sequential in time
+(one Python/`while` loop per solve, rk_common.py:243-264).  On a TPU pod
+the time axis is the one axis the batch/model shardings cannot touch, so
+this module adds the classic Parareal scheme (Lions, Maday & Turinici,
+"Resolution d'EDP par un schema en temps parallele", C. R. Acad. Sci.
+2001; see also Gander & Vandewalle 2007) in TPU-native form:
+
+* the output grid's T-1 intervals are the time slices;
+* the FINE propagator (an adaptive solve at the requested tolerances)
+  runs on every slice *concurrently* — `vmap` on one chip, or
+  `shard_map` over a mesh axis so each group of slices rides its own
+  device and steps with an independent adaptive controller;
+* the cheap COARSE propagator (fixed-grid, `coarse_num_steps` steps per
+  slice) runs sequentially as a `lax.scan` and propagates corrections;
+* after iteration k, slices 1..k are *exactly* the sequential fine
+  solution (the classic finite-termination property — in floating point
+  too: once a slice's input converges, ``G_new - G_old == 0`` bitwise),
+  so ``n_iters = T-1`` is a parity oracle and small ``n_iters`` gives
+  tolerance-level accuracy at ~``n_iters/S`` of the sequential critical
+  path.
+
+Everything is differentiable: the fine solves carry their continuous-
+adjoint `custom_vjp`, the coarse scan backprops natively.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+from jax.sharding import PartitionSpec as P
+
+
+def _flat_problem(func, y0, args):
+    """Ravel the pytree state once; return (flat_func, y0_flat, unravel)."""
+    y0_flat, unravel = ravel_pytree(y0)
+
+    def flat_func(tt, yy_flat, *a):
+        f_tree = func(tt, unravel(yy_flat), *a)
+        ff, _ = ravel_pytree(f_tree)
+        return ff
+
+    return flat_func, y0_flat, unravel
+
+
+def odeint_parareal(func, y0, t, *, rtol=1e-7, atol=1e-9, method=None,
+                    options=None, coarse_method='rk4', coarse_num_steps=2,
+                    n_iters=4, mesh=None, axis='time', args=()):
+    """Solve ``dy/dt = func(t, y)`` at the times `t` with Parareal.
+
+    The T-1 output intervals are integrated concurrently by the fine
+    propagator (``method`` at rtol/atol, default dopri5) and stitched by
+    `n_iters` sequential coarse corrections (``coarse_method`` with
+    ``coarse_num_steps`` fixed steps per slice).
+
+    mesh/axis: optional `jax.sharding.Mesh` — the slice axis is
+    `shard_map`-ped over ``mesh[axis]`` so each device group advances its
+    slices with an independent adaptive controller (T-1 must be divisible
+    by the axis size).  Without a mesh the slices are vmapped (one chip:
+    lock-step union stepping, still one compiled while_loop for all
+    slices).
+
+    Returns ``ys`` like `odeint`.  Use `odeint_parareal_with_info` for
+    the per-iteration correction norms (convergence telemetry).
+    """
+    ys, _ = odeint_parareal_with_info(
+        func, y0, t, rtol=rtol, atol=atol, method=method, options=options,
+        coarse_method=coarse_method, coarse_num_steps=coarse_num_steps,
+        n_iters=n_iters, mesh=mesh, axis=axis, args=args)
+    return ys
+
+
+def odeint_parareal_with_info(func, y0, t, *, rtol=1e-7, atol=1e-9,
+                              method=None, options=None, coarse_method='rk4',
+                              coarse_num_steps=2, n_iters=4, mesh=None,
+                              axis='time', args=()):
+    """`odeint_parareal` returning ``(ys, deltas)`` where ``deltas[k]`` is
+    the max-norm of iteration k's correction (monotone decrease is the
+    convergence signal; exactly zero once converged)."""
+    from ..odeint import odeint
+
+    t = jnp.asarray(t)
+    T = t.shape[0]
+    if T < 2:
+        raise ValueError("parareal needs at least 2 output times")
+    S = T - 1
+    n_iters = int(n_iters)
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+
+    flat_func, y0_flat, unravel = _flat_problem(func, y0, tuple(args))
+
+    fine_opts = dict(options) if options else {}
+    coarse_opts = dict(num_steps=int(coarse_num_steps))
+
+    def fine(t0, t1, u):
+        ts = jnp.stack([t0, t1])
+        return odeint(flat_func, u, ts, rtol=rtol, atol=atol, method=method,
+                      options=fine_opts, args=args)[-1]
+
+    def coarse(t0, t1, u):
+        ts = jnp.stack([t0, t1])
+        return odeint(flat_func, u, ts, method=coarse_method,
+                      options=coarse_opts, args=args)[-1]
+
+    t0s, t1s = t[:-1], t[1:]
+
+    if mesh is not None:
+        n_shards = mesh.shape[axis]
+        if S % n_shards != 0:
+            raise ValueError(
+                f"T-1={S} time slices must divide the mesh axis "
+                f"'{axis}' ({n_shards})")
+
+        # Each device group fine-solves its own contiguous block of
+        # slices with an independent adaptive controller (check_vma=False:
+        # the driver carry mixes shard-invariant scalars with varying
+        # state, same as sharded_independent_odeint).
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(axis), P(axis), P(axis)), out_specs=P(axis),
+                 check_vma=False)
+        def fine_all(t0_s, t1_s, U_s):
+            return jax.vmap(fine)(t0_s, t1_s, U_s)
+    else:
+        fine_all = jax.vmap(fine)
+
+    coarse_all = jax.vmap(coarse)
+
+    # --- init: sequential coarse sweep -------------------------------------
+    def init_body(u, ts01):
+        u1 = coarse(ts01[0], ts01[1], u)
+        return u1, u1
+
+    _, U_tail = jax.lax.scan(init_body, y0_flat, jnp.stack([t0s, t1s], 1))
+    U = jnp.concatenate([y0_flat[None], U_tail])  # (T, n)
+
+    # --- parareal iterations ------------------------------------------------
+    def iteration(U, _):
+        F_vals = fine_all(t0s, t1s, U[:-1])      # parallel in time
+        G_old = coarse_all(t0s, t1s, U[:-1])     # parallel (same inputs)
+
+        def corr_body(u, inp):
+            Fv, Gv_old, tt0, tt1 = inp
+            g_new = coarse(tt0, tt1, u)
+            u1 = g_new + (Fv - Gv_old)
+            return u1, u1
+
+        _, U_tail = jax.lax.scan(corr_body, y0_flat,
+                                 (F_vals, G_old, t0s, t1s))
+        U_new = jnp.concatenate([y0_flat[None], U_tail])
+        delta = jnp.max(jnp.abs(U_new - U))
+        return U_new, delta
+
+    U, deltas = jax.lax.scan(iteration, U, None, length=n_iters)
+
+    ys = jax.vmap(unravel)(U)
+    return ys, deltas
