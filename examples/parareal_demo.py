@@ -1,0 +1,73 @@
+"""Parallel-in-time integration demo (Parareal).
+
+No reference counterpart (torchdiffeq integrates strictly sequentially);
+this demonstrates the TPU-native time-axis parallelism in
+`torchdiffeq_tpu.parallel.odeint_parareal`:
+
+* a long-horizon forced oscillator is split into the output grid's time
+  slices;
+* the fine propagator (adaptive dopri5 at the requested tolerance) runs
+  on every slice concurrently — on a multi-device mesh each device group
+  advances its own slices with an independent adaptive controller;
+* a cheap sequential coarse sweep (2 rk4 steps per slice) stitches the
+  slices, converging geometrically: the script prints the per-iteration
+  correction norm and the error against the sequential solve.
+
+Run: python examples/parareal_demo.py [--slices 16] [--iters 5] [--mesh]
+"""
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import torchdiffeq_tpu as tde
+from torchdiffeq_tpu.parallel import (make_mesh, odeint_parareal_with_info)
+
+parser = argparse.ArgumentParser()
+parser.add_argument('--slices', type=int, default=16)
+parser.add_argument('--iters', type=int, default=5)
+parser.add_argument('--rtol', type=float, default=1e-8)
+parser.add_argument('--mesh', action='store_true',
+                    help='shard the slice axis over all visible devices')
+args = parser.parse_args()
+
+
+def field(t, y):
+    """Forced, lightly damped oscillator — smooth but long-horizon."""
+    x, v = y[0], y[1]
+    return jnp.stack([v, -x - 0.05 * v + 0.3 * jnp.sin(1.3 * t)])
+
+
+y0 = jnp.array([1.0, 0.0])
+t = jnp.linspace(0.0, 20.0, args.slices + 1)
+
+mesh = None
+if args.mesh:
+    n_dev = len(jax.devices())
+    if args.slices % n_dev == 0 and n_dev > 1:
+        mesh = make_mesh({'time': n_dev})
+        print(f"sharding {args.slices} slices over {n_dev} devices")
+    else:
+        print(f"--mesh ignored: {args.slices} slices not divisible by "
+              f"{n_dev} device(s)")
+
+ys_par, deltas = odeint_parareal_with_info(
+    field, y0, t, rtol=args.rtol, atol=args.rtol * 1e-2,
+    coarse_num_steps=4, n_iters=args.iters, mesh=mesh, axis='time')
+
+# sequential oracle: the slice-restarted fine propagation
+u = y0
+seq = [np.asarray(y0)]
+for s in range(args.slices):
+    u = tde.odeint(field, u, t[s:s + 2], rtol=args.rtol,
+                   atol=args.rtol * 1e-2)[-1]
+    seq.append(np.asarray(u))
+seq = np.stack(seq)
+
+err = np.max(np.abs(np.asarray(ys_par) - seq))
+print("per-iteration correction norms:",
+      ["%.2e" % d for d in np.asarray(deltas)])
+print(f"max |parareal - sequential| after {args.iters} iterations: {err:.2e}")
+assert err < 100 * args.rtol, err
+print("ok")

@@ -101,8 +101,9 @@ def test_stats_pytree():
     f, y0, t_points, sol = construct_problem(ode='constant')
     ys, stats = tde.odeint_with_stats(f, y0, t_points)
     assert isinstance(stats, tde.Stats)
-    leaves = jax.tree_util.tree_leaves(stats)
-    assert all(l.dtype == jnp.int32 for l in leaves)
+    for name in ('nfe', 'n_steps', 'n_accepted', 'n_rejected', 'error_code'):
+        assert getattr(stats, name).dtype == jnp.int32, name
+    assert jnp.issubdtype(stats.final_dt.dtype, jnp.floating)
 
 
 def test_options_unknown_method():

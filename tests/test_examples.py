@@ -19,6 +19,7 @@ CONFIGS = {
                         '--hidden', '8', '--batch_size', '32'],
     'bouncing_ball.py': [],
     'learn_physics.py': ['--niters', '120'],
+    'parareal_demo.py': ['--slices', '8', '--iters', '4', '--mesh'],
 }
 
 

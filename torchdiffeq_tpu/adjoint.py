@@ -7,14 +7,17 @@ Differences forced (and enabled) by JAX/TPU:
   `nn.Module.parameters()` (reference adjoint.py:226-240): any array closed
   over by `func` (or passed via `args`) becomes an explicit differentiable
   input of the custom_vjp and receives exact adjoint gradients.
-* The per-interval backward loop (reference adjoint.py:124-141) is a
-  `lax.scan`; each interval re-solves the augmented ODE
-  ``(vjp_t, y, vjp_y, vjp_params)`` with the adjoint method/tolerances.
-  Deviation: intervals after the first warm-start the step-size
-  controller from the previous interval's final proposed dt instead of
-  re-running the empirical initial-step probe (reference re-inits per
-  interval), and the T-1 output-time gradient dot products are one
-  batched VF call — ~2x fewer backward NFE at unchanged tolerances.
+* The reference's per-interval backward loop (adjoint.py:124-141)
+  becomes ONE fused reverse solve of the augmented ODE
+  ``(vjp_t, y, vjp_y, vjp_params)`` over the whole span: interior output
+  times are `jump_t` interface points where a state-jump hook injects
+  the output cotangent, resets y to the forward estimate, and
+  accumulates the time gradient — no per-interval init probe or
+  while_loop re-entry (~2x fewer backward NFE at unchanged tolerances),
+  and the T-1 output-time gradient dot products are one batched VF
+  call.  Non-adaptive adjoint methods and user step_t/jump_t/first_step
+  fall back to an interval-by-interval `lax.scan` whose controller
+  warm-starts across intervals.
 * The augmented vector field evaluates one primal VF call + one VJP via
   `jax.vjp` (reference adjoint.py:72-105 uses autograd.grad).
 * Adjoint norms: default is ``max(|t|, ||y||, ||adj_y||, mixed(adj_params))``
@@ -221,25 +224,59 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
             # reset y to the forward-pass estimate; add the output cotangent
             return (vt, y_im1, adj_y + g_im1, th_bar)
 
-        # reversed per-interval arrays: index 0 is the latest interval
+        T = t_int.shape[0]
+
+        # ---- fused single-sweep backward (the default for adaptive
+        # adjoint methods): ONE while_loop over the whole reversed span.
+        # Interior output times become jump_t interface points; at each,
+        # `inject` adds the output cotangent, resets y to the forward-pass
+        # estimate, and accumulates the time gradient — replacing the
+        # reference's interval-by-interval odeint restarts
+        # (adjoint.py:124-141) with a single continuously-controlled
+        # solve (no per-interval init probe, no loop re-entry).
+        fused = (warm_start and T > 2
+                 and 'step_t' not in adj_opts and 'jump_t' not in adj_opts)
+        if fused:
+            vt0 = (-dLds[-1]).astype(y_dtype).reshape(())
+            aug0f = (vt0, ys_flat[-1], g_ys[-1], th_bar0)
+            _, unravel_aug = ravel_pytree(aug0f)
+
+            def inject(k, tt, aug_flat):
+                vt, y, adj_y, th_bar = unravel_aug(aug_flat)
+                # check_inputs negates+sorts jump_t, so jump index k maps
+                # to boundary j = (T-2) - k of the increasing grid t_int
+                j = (T - 2) - k
+                vt = vt - dLds[j - 1].astype(vt.dtype)
+                y = ys_flat[j]               # reset to forward estimate
+                adj_y = adj_y + g_ys[j]      # add the output cotangent
+                flat, _ = ravel_pytree((vt, y, adj_y, th_bar))
+                return flat
+
+            opts = dict(adj_opts)
+            opts['jump_t'] = t_int[1:-1]
+            opts['jump_state_fn'] = inject
+            sol, _ = _raw_odeint(aug_dyn, aug0f,
+                                 jnp.stack([t_int[-1], t_int[0]]),
+                                 adjoint_rtol, adjoint_atol, adjoint_method,
+                                 opts, 'reverse')
+            vt, _, adj_y, th_bar = jax.tree_util.tree_map(lambda a: a[1],
+                                                          sol)
+            adj_y = adj_y + g_ys[0]
+            return adj_y, th_bar, vt, dLds
+
+        # ---- fallback: interval-by-interval sweep (non-adaptive adjoint
+        # methods, user-supplied step_t/jump_t/first_step, or T == 2) ----
         t_i_rev = t_int[1:][::-1]
         t_im1_rev = t_int[:-1][::-1]
         y_im1_rev = ys_flat[:-1][::-1]
         g_im1_rev = g_ys[:-1][::-1]
         dLd_rev = dLds[::-1]
 
-        # Latest interval unrolled: Hairer initial-step selection.  The
-        # remaining intervals warm-start the controller from the previous
-        # interval's final proposed dt (`first_step`), skipping the
-        # per-interval init probe — a deliberate deviation from the
-        # reference, which re-runs the empirical init in every interval
-        # (adjoint.py:124-141); the step controller keeps accuracy at the
-        # adjoint tolerances.  See COVERAGE.md.
         aug, dt_ws = solve_interval(aug0, t_i_rev[0], t_im1_rev[0],
                                     dLd_rev[0], adj_opts)
         aug = finish_interval(aug, y_im1_rev[0], g_im1_rev[0])
 
-        if t_int.shape[0] > 2:
+        if T > 2:
             def scan_body(carry, inp):
                 aug, dt_prev = carry
                 t_i, t_im1, y_im1, g_im1, dLd = inp

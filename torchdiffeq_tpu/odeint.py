@@ -49,7 +49,7 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
                   'dfactor', 'min_step', 'max_step', 'max_num_steps',
                   'controller', 'pcoeff', 'icoeff', 'replay_grad',
                   'max_segments', 'compensated_time', 'stage_tol',
-                  'max_iters'})
+                  'max_iters', 'jump_state_fn'})
     step_fn = None
     if tableau.implicit:
         from .solvers.adaptive_implicit import make_esdirk_step_fn
@@ -69,7 +69,8 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
         controller=opts.get('controller', 'i'),
         pcoeff=opts.get('pcoeff', 0.4),
         icoeff=opts.get('icoeff', 0.7),
-        compensated_time=opts.get('compensated_time', True))
+        compensated_time=opts.get('compensated_time', True),
+        jump_state_fn=opts.get('jump_state_fn'))
 
 
 def _solve_normalised(prob: NormalisedProblem):

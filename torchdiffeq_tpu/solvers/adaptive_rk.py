@@ -89,6 +89,12 @@ class AdaptiveConfig(NamedTuple):
     # Step kernel override: same contract as ops.rk_step.runge_kutta_step
     # (used by the ESDIRK adaptive-implicit tier, adaptive_implicit.py).
     step_fn: Any = None
+    # Interface/state-jump transform applied when an accepted step ends on
+    # jump_t[k]: ``jump_state_fn(k, t1, y1) -> y1'`` runs before the
+    # far-side FSAL re-evaluation.  Used by the fused single-sweep adjoint
+    # backward (adjoint.py) to inject output cotangents at interior output
+    # times without restarting the while_loop per interval.
+    jump_state_fn: Any = None
 
 
 def _step_kernel(cfg: AdaptiveConfig):
@@ -208,8 +214,17 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
 
     # --- jump_t: re-evaluate f on the far side of the discontinuity --------
     jump_reeval = false
+    y1_prejump = y1  # dense output interpolates the pre-jump trajectory
     if jump_t is not None and jump_t.shape[0] > 0:
         jump_reeval = accept & on_jump_t
+        if cfg.jump_state_fn is not None:
+            # interface condition: transform the state at the jump time
+            # (the dense-output coeff above keeps the pre-jump trajectory,
+            # which is the correct interpolant inside (t0, t1])
+            y1 = jax.lax.cond(
+                jump_reeval,
+                lambda: cfg.jump_state_fn(c.jump_idx, t1, y1),
+                lambda: y1)
         f1 = jax.lax.cond(
             jump_reeval,
             lambda: func(t1, y1, perturb=Perturb.NEXT),
@@ -217,7 +232,8 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
 
     # branch-free select (a lax.cond here would constrain shard_map's
     # varying-axes typing; the fit is ~10 fused vector ops)
-    coeff = jnp.where(accept, _interp_fit_step(y0, y1, k, dt, tab), c.coeff)
+    coeff = jnp.where(accept, _interp_fit_step(y0, y1_prejump, k, dt, tab),
+                      c.coeff)
 
     cb_acc = getattr(func, 'callback_accept_step', None)
     cb_rej = getattr(func, 'callback_reject_step', None)
