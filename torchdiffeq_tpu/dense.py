@@ -1,6 +1,6 @@
 """`odeint_dense`: continuous dense-output solution.
 
-Rebuild of torchdiffeq/_impl/odeint.py:111-157: run the dopri5 adaptive loop
+Rebuild of torchdiffeq/_impl/odeint.py:111-157: run the adaptive loop
 over [t0, t1], record the accepted-step times and quartic interpolation
 coefficients, and return a callable evaluating the solution anywhere in the
 interval via `searchsorted`.
@@ -8,8 +8,15 @@ interval via `searchsorted`.
 TPU twist: the number of accepted steps is data-dependent, so the recording
 buffers have a static capacity `max_segments` (a solve exceeding it reports
 `ERR_MAX_NUM_STEPS` in its stats and the interpolant covers the integrated
-prefix).  Unlike the reference (tensor-only, odeint.py:113) pytree state is
-supported.
+prefix).  Extensions over the reference (odeint.py:111-157):
+
+* pytree state is supported (reference is tensor-only, odeint.py:113);
+* any adaptive method works — all six explicit tableaus plus the
+  kvaerno3/5 ESDIRK stiff tier (reference hardcodes dopri5, odeint.py:119);
+* `sol.derivative(t)` evaluates d/dt of the interpolant;
+* `sol.find_event(event_fn)` bisects the interpolant for an event
+  crossing without re-integrating (same bisection contract as
+  `odeint_event`, events.py).
 """
 from __future__ import annotations
 
@@ -50,21 +57,74 @@ class DenseSolution:
         return cls(times, coeffs, count, t_lo, t_hi, unravel, t_sign,
                    error_code)
 
-    def _eval_scalar(self, t_eval):
+    def _segment(self, t_eval):
+        """Locate the segment containing internal time `t_sign * t_eval`."""
         tt = self.t_sign * t_eval
         tt = jnp.clip(tt, self.t_lo, self.t_hi)
         idx = jnp.clip(jnp.searchsorted(self.times, tt, side="right"),
                        1, jnp.maximum(self.count, 1))
-        t0 = self.times[idx - 1]
-        t1 = self.times[idx]
-        y = interp_evaluate(self.coeffs[idx - 1], t0, t1, tt)
-        return self.unravel(y)
+        return tt, self.times[idx - 1], self.times[idx], self.coeffs[idx - 1]
+
+    def _eval_scalar(self, t_eval):
+        tt, t0, t1, coeff = self._segment(t_eval)
+        return self.unravel(interp_evaluate(coeff, t0, t1, tt))
+
+    def _deriv_scalar(self, t_eval):
+        tt, t0, t1, coeff = self._segment(t_eval)
+        # p(x) with x = (tt - t0)/(t1 - t0): dp/dx via the power rule on the
+        # ascending coefficients, then chain rule through x and the
+        # user-time negation (internal time = t_sign * user time).
+        k = jnp.arange(1, coeff.shape[0], dtype=coeff.dtype)
+        dcoeff = coeff[1:] * k[:, None]
+        x = ((tt - t0) / (t1 - t0)).astype(coeff.dtype)
+        dy_dx = jnp.polyval(dcoeff[::-1], x)
+        scale = (self.t_sign / (t1 - t0)).astype(coeff.real.dtype)
+        return self.unravel(dy_dx * scale)
 
     def __call__(self, t_eval):
         t_eval = jnp.asarray(t_eval)
         if t_eval.ndim == 0:
             return self._eval_scalar(t_eval)
         return jax.vmap(self._eval_scalar)(t_eval)
+
+    def derivative(self, t_eval):
+        """d(sol)/dt at `t_eval` (scalar or batched): the exact derivative
+        of the quartic interpolant.  Extension over the reference."""
+        t_eval = jnp.asarray(t_eval)
+        if t_eval.ndim == 0:
+            return self._deriv_scalar(t_eval)
+        return jax.vmap(self._deriv_scalar)(t_eval)
+
+    def find_event(self, event_fn, tol=1e-6):
+        """Locate the first zero of `event_fn(t, y(t))` on the solution
+        WITHOUT re-integrating (extension over the reference; `odeint_event`
+        re-solves the ODE).  Scans accepted-step boundaries for the first
+        sign change relative to t0, then bisects the quartic interpolant
+        inside the bracketing segment (the `odeint_event` bisection
+        contract, events.py:14-43).
+
+        Returns ``(event_t, y_event)``; `event_t` is NaN when the event
+        function does not change sign on the integrated span.
+        """
+        from .events import find_event as _bisect
+
+        user_t = self.t_sign * self.times        # user-facing times
+        ev = lambda tu: event_fn(tu, self._eval_scalar(tu))
+        vals = jax.vmap(ev)(user_t)              # (max_segments + 1,)
+        sign0 = jnp.sign(vals[0])
+        n = jnp.arange(self.times.shape[0])
+        changed = (jnp.sign(vals) != sign0) & (n <= self.count)
+        j = jnp.argmax(changed)                  # first boundary past the root
+        found = changed[j]
+        j = jnp.maximum(j, 1)
+
+        t_lo_u = self.t_sign * self.times[j - 1]
+        t_hi_u = self.t_sign * self.times[j]
+        # bisect in user time; the interpolant handles the sign internally
+        event_t, _ = _bisect(self._eval_scalar, sign0,
+                             t_lo_u, t_hi_u, event_fn, tol)
+        event_t = jnp.where(found, event_t, jnp.nan)
+        return event_t, self._eval_scalar(event_t)
 
 
 def odeint_dense(func, y0, t0, t1, *, rtol=1e-7, atol=1e-9, method=None,
@@ -78,10 +138,12 @@ def odeint_dense(func, y0, t0, t1, *, rtol=1e-7, atol=1e-9, method=None,
 
     prob = check_inputs(func, y0, t, rtol, atol, method, options, None,
                         SOLVERS, args=args)
-    if prob.method != "dopri5":
-        raise ValueError("odeint_dense currently requires method='dopri5' "
-                         "(as in the reference, odeint.py:119)")
     spec = SOLVERS[prob.method]
+    if spec.get("kind") != "adaptive":
+        raise ValueError(
+            f"odeint_dense requires an adaptive method (the reference "
+            f"allows only dopri5, odeint.py:119; this build accepts any "
+            f"adaptive tableau), got method={prob.method!r}")
     cfg = _adaptive_config(prob, spec["tableau"])
 
     ts = prob.t

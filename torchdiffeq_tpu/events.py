@@ -25,7 +25,9 @@ def find_event(interp_fn, sign0, t0, t1, event_fn, tol):
     # per-leaf tolerance vectors collapse to their max (the bisection count
     # must be a scalar)
     tol = jnp.max(jnp.asarray(tol)).astype(jnp.asarray(t0).dtype)
-    span = jax.lax.stop_gradient(t1 - t0)
+    # abs: DenseSolution.find_event bisects in user time, which decreases
+    # for reverse-time solves (odeint_event always passes t0 < t1)
+    span = jnp.abs(jax.lax.stop_gradient(t1 - t0))
     nitrs = jnp.ceil(jnp.log2(jnp.maximum(span / tol, 1.0))).astype(jnp.int32)
 
     def body(_, carry):
