@@ -224,3 +224,83 @@ def test_second_forward_after_grad():
     out1 = loss(y0)
     out2 = loss(y0)
     assert float(out1) == float(out2)
+
+
+# ---- forward-mode sensitivities: options=dict(forward_grad=True) ----------
+# Extension over the reference (torch has no forward-mode odeint): the raw
+# while_loop solve is returned with no custom_vjp wrapper, so jvp/jacfwd
+# trace straight through the compiled loop.
+
+def test_forward_grad_jvp_matches_closed_form():
+    f = lambda t, y: -y
+    t = jnp.linspace(0., 2., 5)
+    y0 = jnp.array([1.0])
+    solve = lambda y0_: tde.odeint(f, y0_, t,
+                                   options=dict(forward_grad=True))
+    primal, tangent = jax.jvp(solve, (y0,), (jnp.ones(1),))
+    np.testing.assert_allclose(np.asarray(primal[:, 0]),
+                               np.exp(-np.asarray(t)), rtol=1e-6)
+    # d y(t)/d y0 = exp(-t) for linear decay
+    np.testing.assert_allclose(np.asarray(tangent[:, 0]),
+                               np.exp(-np.asarray(t)), rtol=1e-6)
+
+
+def test_forward_grad_jacfwd_matches_adjoint_jacrev():
+    f, y0, t_points, sol = construct_problem(ode='linear', npts=3)
+    last = lambda y0_, opts: tde.odeint(f, y0_, t_points, rtol=1e-9,
+                                        atol=1e-11, options=opts)[-1]
+    J_fwd = jax.jacfwd(lambda y: last(y, dict(forward_grad=True)))(y0)
+    J_rev = jax.jacrev(lambda y: last(y, None))(y0)
+    np.testing.assert_allclose(np.asarray(J_fwd), np.asarray(J_rev),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_forward_grad_jvp_wrt_t():
+    f = lambda t, y: -y
+    y0 = jnp.array([1.0])
+
+    def ends(t1):
+        t = jnp.stack([jnp.asarray(0.), t1])
+        return tde.odeint(f, y0, t, options=dict(forward_grad=True))[-1, 0]
+
+    _, tang = jax.jvp(ends, (jnp.asarray(1.5),), (jnp.asarray(1.0),))
+    # d y(t1)/d t1 = -exp(-t1)
+    np.testing.assert_allclose(float(tang), -np.exp(-1.5), rtol=1e-6)
+
+
+def test_forward_grad_second_order():
+    f = lambda t, y: -y ** 2
+    t = jnp.linspace(0., 1., 2)
+
+    def last(y0_):
+        return tde.odeint(f, y0_[None], t, rtol=1e-10, atol=1e-12,
+                          options=dict(forward_grad=True))[-1, 0]
+
+    # y(1) = y0/(1 + y0); d2y/dy0^2 = -2/(1+y0)^3
+    y0 = jnp.asarray(0.5)
+    d2 = jax.jacfwd(jax.jacfwd(last))(y0)
+    np.testing.assert_allclose(float(d2), -2 / 1.5 ** 3, rtol=1e-5)
+
+
+def test_forward_grad_event_raises():
+    f = lambda t, y: -y
+    with pytest.raises(ValueError, match="replay_grad"):
+        tde.odeint(f, jnp.array([1.0]), jnp.linspace(0., 1., 2),
+                   event_fn=lambda t, y: y[0] - 0.5,
+                   options=dict(forward_grad=True))
+
+
+def test_forward_grad_noop_on_fixed_methods():
+    """Fixed-grid scans are already forward-differentiable; the option is
+    accepted silently and both AD modes keep working."""
+    f = lambda t, y: -y
+    t = jnp.linspace(0., 2., 5)
+    y0 = jnp.array([1.0])
+    solve = lambda y0_: tde.odeint(f, y0_, t, method='rk4',
+                                   options=dict(forward_grad=True,
+                                                step_size=0.05))
+    _, tangent = jax.jvp(solve, (y0,), (jnp.ones(1),))
+    np.testing.assert_allclose(np.asarray(tangent[:, 0]),
+                               np.exp(-np.asarray(t)), rtol=1e-5)
+    g = jax.grad(lambda y: jnp.sum(solve(y)))(y0)
+    assert np.isfinite(np.asarray(g)).all()

@@ -17,7 +17,10 @@ TPU-native rebuild of torchdiffeq/_impl/odeint.py:49-108.  Differences:
       reverse-differentiable; the continuous adjoint is accurate to solver
       tolerance).  Use `odeint_adjoint` to control the backward solve, or
       `options=dict(replay_grad=True)` for exact discretise-then-optimise
-      gradients (+ forward-mode and higher-order AD) via step replay.
+      gradients (+ forward-mode and higher-order AD) via step replay, or
+      `options=dict(forward_grad=True)` for buffer-free exact forward
+      sensitivities (`jax.jvp`/`jacfwd` trace straight through the
+      while_loop; no reverse mode on that path).
 * `odeint_with_stats` additionally returns solver telemetry (NFE, step and
   accept/reject counts, error code) — the compiled-loop replacement for the
   reference's callback system and `nfe` counter convention.
@@ -49,7 +52,7 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
                   'dfactor', 'min_step', 'max_step', 'max_num_steps',
                   'controller', 'pcoeff', 'icoeff', 'replay_grad',
                   'max_segments', 'compensated_time', 'stage_tol',
-                  'max_iters', 'jump_state_fn'})
+                  'max_iters', 'jump_state_fn', 'forward_grad'})
     step_fn = None
     if tableau.implicit:
         from .solvers.adaptive_implicit import make_esdirk_step_fn
@@ -241,9 +244,36 @@ def _odeint_impl(func, y0, t, rtol, atol, method, options, event_fn, args,
                         SOLVERS, args=args)
     spec = SOLVERS[prob.method]
     direct = spec['kind'] in DIRECT_DIFF_KINDS or spec['kind'] == 'scipy'
+    if direct and isinstance(prob.options, dict) \
+            and 'forward_grad' in prob.options:
+        # fixed-grid/Adams/implicit scans are already natively
+        # forward-differentiable; accept the option as a no-op
+        prob = prob._replace(options={k: v for k, v in prob.options.items()
+                                      if k != 'forward_grad'})
 
     if prob.event_fn is None and direct:
         ys_flat, stats = _solve_normalised(prob)
+        return _finalise(prob, ys_flat), stats
+
+    if (spec['kind'] == 'adaptive'
+            and prob.options.get('forward_grad', False)):
+        # Forward-sensitivity mode: return the RAW while_loop solve with no
+        # custom_vjp wrapper.  `jax.jvp` / `jax.jacfwd` then trace straight
+        # through the compiled loop — exact discrete tangents (including
+        # through the step controller), no replay buffers, arbitrary-order
+        # forward AD.  Reverse mode is unavailable on this path (XLA
+        # while_loop has no transpose); use the default adjoint or
+        # replay_grad for that.
+        if prob.event_fn is not None:
+            raise ValueError(
+                "forward_grad does not support event solves (the event "
+                "time's bisection is non-differentiable forward-through; "
+                "use options=dict(replay_grad=True) for differentiable "
+                "event times)")
+        opts = dict(prob.options)
+        opts.pop('forward_grad', None)
+        prob2 = prob._replace(options=opts)
+        ys_flat, stats = _solve_normalised(prob2)
         return _finalise(prob, ys_flat), stats
 
     if (spec['kind'] == 'adaptive'
