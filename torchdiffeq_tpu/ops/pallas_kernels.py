@@ -247,13 +247,22 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
     n_tiles = B // block_b
     Bb = block_b
     # params with a per-lane last dim are blocked with the state
+    params_orig = params
     per_lane_param = [p.ndim >= 1 and p.shape[-1] == B for p in params]
+    # Mosaic rejects BLOCKED 1-D operands when the lane tiling disagrees
+    # with the XLA layout; promote 1-D per-lane params to (1, B) for the
+    # kernel and unwrap the leading row inside.
+    params = tuple(p[None, :] if (lane and p.ndim == 1) else p
+                   for p, lane in zip(params, per_lane_param))
+    unwrap_param = [lane and p.ndim == 2 and q.ndim == 1
+                    for p, q, lane in zip(params, params_orig, per_lane_param)]
 
     def one_solve(scal_ref, *refs):
         param_refs = refs[:len(params)]
         y0_ref = refs[len(params)]
         y_out, acc_out, steps_out = refs[len(params) + 1:]
-        pvals = tuple(r[:] for r in param_refs)
+        pvals = tuple(r[:][0] if u else r[:]
+                      for r, u in zip(param_refs, unwrap_param))
         t_start, t_end = scal_ref[0], scal_ref[1]
 
         y_init = y0_ref[:]
@@ -450,3 +459,309 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
     if ts is None:
         return ys[0], acc, stp
     return ys, acc, stp
+
+
+# ---------------------------------------------------------------------------
+# Fused per-lane EVENT solves (ROADMAP item: per-lane event detection).
+#
+# Same lane layout as `dopri5_integrate_batched`; the while_loop watches a
+# per-lane event sign — each accepted step evaluates `event_fn(t1, y1)`; a
+# sign change vs the t0 sign freezes the lane and records that step's
+# quartic dense-output coefficients and (t, dt) bracket.  After the loop a
+# fixed-count vectorised bisection localises every lane's event time on its
+# stored interpolant simultaneously: the reference's per-solve host
+# bisection (event_handling.py:5-20) becomes ~40 masked vector ops for the
+# whole batch.
+# ---------------------------------------------------------------------------
+
+def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
+                          params=(), ev_params=(), max_steps=10_000, safety=0.9,
+                          ifactor=10.0, dfactor=0.2, first_step=None,
+                          block_b=None, bisect_iters=40, interpret=False):
+    """Per-lane adaptive dopri5 until `event_fn` crosses zero, fused into
+    ONE Pallas kernel: every VPU lane integrates its own trajectory with an
+    independent controller and stops on its own event.
+
+    Args:
+        field: traceable ``field(t (1,b), y (D,b), *params) -> (D,b)``.
+        y0: (D, B) initial states, batch on the LAST axis.
+        t0: scalar start time.
+        event_fn: traceable ``event_fn(t (1,b), y (D,b), *ev_params)
+            -> (1,b)`` per-lane event values (sign-combined per sample by
+            the host wrapper for multi-output event functions).
+        ev_params: extra arrays for `event_fn` (kernel closures cannot
+            capture traced values); blocked per-lane when the last dim
+            equals B, broadcast whole otherwise.
+        bisect_iters: static bisection count on the bracketing step's
+            quartic interpolant (40 ~ below f32 resolution of the bracket).
+        (other args as in `dopri5_integrate_batched`.)
+
+    Returns:
+        (event_t (1, B) — NaN where no event before `max_steps`,
+         y_event (D, B), found (1, B) int32,
+         n_accepted (1, B) int32, n_steps (1, B) int32).
+    """
+    import numpy as np
+    from jax.experimental import pallas as pl
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        vmem = pltpu.VMEM
+    except Exception:  # pragma: no cover
+        vmem = None
+
+    D, B = y0.shape
+    dtype = y0.dtype
+    alpha, beta, c_sol, c_err, c_mid = _dopri5_consts(dtype)
+    t0 = jnp.asarray(t0, dtype)
+    max_steps = int(max_steps)
+    bisect_iters = int(bisect_iters)
+
+    D_pad = max(8, -(-D // 8) * 8)
+    pad_rows = D_pad - D
+
+    if block_b is None:
+        itemsize = jnp.dtype(dtype).itemsize
+        # stages + interp scratch + 5 stored coeff rows per lane
+        bytes_per_lane = (8 * 8 + 18 * D_pad) * itemsize
+        block_b = B
+        while block_b * bytes_per_lane > 4 * 1024 * 1024 \
+                and block_b % 2 == 0 and block_b > 128:
+            block_b //= 2
+    block_b = int(block_b)
+    if B % block_b != 0:
+        raise ValueError(f"batch {B} must be divisible by block_b {block_b}")
+    n_tiles = B // block_b
+    Bb = block_b
+    per_lane_param = [p.ndim >= 1 and p.shape[-1] == B for p in params]
+    per_lane_evp = [p.ndim >= 1 and p.shape[-1] == B for p in ev_params]
+    # promote blocked 1-D params to (1, B) — see dopri5_integrate_batched
+    unwrap_param = [lane and p.ndim == 1
+                    for p, lane in zip(params, per_lane_param)]
+    unwrap_evp = [lane and p.ndim == 1
+                  for p, lane in zip(ev_params, per_lane_evp)]
+    params = tuple(p[None, :] if u else p
+                   for p, u in zip(params, unwrap_param))
+    ev_params = tuple(p[None, :] if u else p
+                      for p, u in zip(ev_params, unwrap_evp))
+
+    def one_solve(scal_ref, *refs):
+        param_refs = refs[:len(params)]
+        evp_refs = refs[len(params):len(params) + len(ev_params)]
+        y0_ref = refs[len(params) + len(ev_params)]
+        (et_out, ye_out, found_out, acc_out,
+         steps_out) = refs[len(params) + len(ev_params) + 1:]
+        pvals = tuple(r[:][0] if u else r[:]
+                      for r, u in zip(param_refs, unwrap_param))
+        epvals = tuple(r[:][0] if u else r[:]
+                       for r, u in zip(evp_refs, unwrap_evp))
+        t_start = scal_ref[0]
+
+        y_init = y0_ref[:]
+        if pad_rows:
+            y_init = jnp.concatenate(
+                [y_init, jnp.zeros((pad_rows, Bb), dtype)], axis=0)
+        tiny = jnp.finfo(dtype).tiny
+
+        def f(tv, yv):
+            fv = field(tv, yv[:D] if pad_rows else yv, *pvals)
+            if pad_rows:
+                fv = jnp.concatenate(
+                    [fv, jnp.zeros((pad_rows, Bb), dtype)], axis=0)
+            return fv
+
+        def ev(tv, yv):
+            return event_fn(tv, yv[:D] if pad_rows else yv, *epvals)
+
+        def lane_rms(v2):
+            return jnp.sqrt(jnp.sum(v2, axis=0, keepdims=True) / float(D))
+
+        def stage_sweep(t, dt, y, f0):
+            ks = [f0]
+            yi = y
+            for i in range(len(alpha)):
+                acc = None
+                for j in range(i + 1):
+                    if beta[i, j] == 0.0:
+                        continue
+                    term = float(beta[i, j]) * ks[j]
+                    acc = term if acc is None else acc + term
+                yi = y + dt * acc
+                ti = t + float(alpha[i]) * dt
+                ks.append(f(ti, yi))
+            y1 = yi
+            err = None
+            for j, c in enumerate(c_err):
+                if c == 0.0:
+                    continue
+                term = float(c) * ks[j]
+                err = term if err is None else err + term
+            return y1, ks, dt * err
+
+        def interp_coeffs(y, y1, y_mid, f0, f1, dt):
+            a = 2 * dt * (f1 - f0) - 8 * (y1 + y) + 16 * y_mid
+            b = dt * (5 * f0 - 3 * f1) + 18 * y + 14 * y1 - 32 * y_mid
+            c = dt * (f1 - 4 * f0) - 11 * y - 5 * y1 + 16 * y_mid
+            return (y, dt * f0, c, b, a)
+
+        def interp_at(coefs, x):
+            e, d, c, b, a = coefs
+            total = e + x * d
+            xp = x
+            for coef in (c, b, a):
+                xp = xp * x
+                total = total + xp * coef
+            return total
+
+        zero_like = 0.0 * jax.lax.broadcasted_iota(
+            jnp.int32, (8, Bb), 1).astype(dtype)
+        t_v = t_start + zero_like
+        f0 = f(t_v[:1], y_init)
+        s0 = jnp.sign(ev(t_v[:1], y_init))          # (1, Bb)
+
+        if first_step is not None:
+            dt_v = jnp.asarray(first_step, dtype) + zero_like
+        else:
+            scale = atol + rtol * jnp.abs(y_init)
+            d0 = lane_rms((y_init / scale) ** 2)
+            d1 = lane_rms((f0 / scale) ** 2)
+            h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6,
+                           0.01 * d0 / jnp.maximum(d1, tiny))
+            yp = y_init + h0 * f0
+            fp = f(t_v[:1] + h0, yp)
+            d2 = lane_rms(((fp - f0) / scale) ** 2) / jnp.maximum(h0, tiny)
+            d_max = jnp.maximum(d1, d2)
+            h1 = jnp.where((d1 <= 1e-15) & (d2 <= 1e-15),
+                           jnp.maximum(1e-6, h0 * 1e-3),
+                           (0.01 / jnp.maximum(d_max, tiny)) ** (1.0 / 5.0))
+            dt_v = jnp.minimum(100.0 * h0, h1) + zero_like
+
+        zeros_state = jnp.zeros_like(y_init)
+        # bracket store: start time / width (1 sublane row kept on the
+        # (8, Bb) tile for layout stability) + 5 quartic coefficient rows
+        carry0 = (t_v, dt_v, y_init, f0,
+                  zero_like,                 # found (0/1)
+                  zero_like,                 # brk_t
+                  zero_like,                 # brk_dt
+                  (y_init, zeros_state, zeros_state, zeros_state,
+                   zeros_state),             # coefs
+                  zero_like, zero_like)      # acc, stp
+
+        def cond(carry):
+            (t, dt, y, fc, found, brk_t, brk_dt, coefs, acc, stp) = carry
+            return jnp.any((found == 0.0) & (stp < float(max_steps)))
+
+        def body(carry):
+            (t, dt, y, fc, found, brk_t, brk_dt, coefs, acc, stp) = carry
+            active = (found == 0.0) & (stp < float(max_steps))   # (8, Bb)
+            dt_c = jnp.where(active, dt, jnp.zeros_like(dt))
+            t_prop = t + dt_c
+            y1, ks, err = stage_sweep(t[:1], dt_c[:1], y, fc)
+            f1 = ks[-1]
+            tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+            ratio = jnp.broadcast_to(lane_rms((err / tol) ** 2), (8, Bb))
+            accept = (ratio <= 1.0) & active
+
+            v1 = ev(t_prop[:1], y1)
+            hit1 = accept[:1] & (jnp.sign(v1) != s0)     # (1, Bb)
+            hit = jnp.broadcast_to(hit1, (8, Bb))
+
+            def record():
+                mid = None
+                for j, c in enumerate(c_mid):
+                    if c == 0.0:
+                        continue
+                    term = float(c) * ks[j]
+                    mid = term if mid is None else mid + term
+                y_mid = y + dt_c[:1] * mid
+                new_coefs = interp_coeffs(y, y1, y_mid, fc, f1, dt_c[:1])
+                stored = tuple(jnp.where(hit1, nc, oc)
+                               for nc, oc in zip(new_coefs, coefs))
+                return (jnp.where(hit, t, brk_t),
+                        jnp.where(hit, dt_c, brk_dt), stored)
+
+            brk_t, brk_dt, coefs = jax.lax.cond(
+                jnp.any(hit1), record, lambda: (brk_t, brk_dt, coefs))
+
+            found = jnp.where(hit, jnp.ones_like(found), found)
+            y = jnp.where(accept[:1], y1, y)
+            fc = jnp.where(accept[:1], f1, fc)
+            t = jnp.where(accept, t_prop, t)
+            dfac = jnp.where(ratio < 1.0, jnp.ones_like(ratio), dfactor)
+            factor = jnp.minimum(
+                ifactor, jnp.maximum(safety / jnp.maximum(ratio, tiny)
+                                     ** (1.0 / 5.0), dfac))
+            dt = jnp.where(active, dt_c * factor, dt)
+            acc = acc + accept.astype(dtype)
+            stp = stp + active.astype(dtype)
+            return (t, dt, y, fc, found, brk_t, brk_dt, coefs, acc, stp)
+
+        (t_v, dt_v, y, fc, found, brk_t, brk_dt, coefs, acc,
+         stp) = jax.lax.while_loop(cond, body, carry0)
+
+        # vectorised bisection on the stored bracket interpolants: x in
+        # [0, 1] maps to [brk_t, brk_t + brk_dt]
+        lo = zero_like[:1]
+        hi = 1.0 + zero_like[:1]
+
+        def bis(_, lohi):
+            lo, hi = lohi
+            xm = 0.5 * (lo + hi)
+            vm = ev(brk_t[:1] + xm * brk_dt[:1], interp_at(coefs, xm))
+            same = jnp.sign(vm) == s0
+            return (jnp.where(same, xm, lo), jnp.where(same, hi, xm))
+
+        lo, hi = jax.lax.fori_loop(0, bisect_iters, bis, (lo, hi))
+        x = 0.5 * (lo + hi)
+        found1 = found[:1] > 0.0
+        event_t = jnp.where(found1, brk_t[:1] + x * brk_dt[:1],
+                            jnp.full_like(x, jnp.nan))
+        y_event = jnp.where(found1, interp_at(coefs, x), y)
+
+        et_out[:] = event_t
+        ye_out[:] = y_event[:D] if pad_rows else y_event
+        found_out[:] = found[:1].astype(jnp.int32)
+        acc_out[:] = acc[:1].astype(jnp.int32)
+        steps_out[:] = stp[:1].astype(jnp.int32)
+
+    out_shapes = (jax.ShapeDtypeStruct((1, B), dtype),
+                  jax.ShapeDtypeStruct((D, B), dtype),
+                  jax.ShapeDtypeStruct((1, B), jnp.int32),
+                  jax.ShapeDtypeStruct((1, B), jnp.int32),
+                  jax.ShapeDtypeStruct((1, B), jnp.int32))
+
+    if jax.default_backend() != 'tpu' and not interpret:
+        interpret = True
+
+    from jax.experimental import pallas as pl
+
+    def _param_spec(p, lane):
+        if not lane:
+            return pl.BlockSpec(memory_space=vmem)
+        blk = p.shape[:-1] + (Bb,)
+        lead = (0,) * (p.ndim - 1)
+        return pl.BlockSpec(blk, lambda i, _l=lead: _l + (i,),
+                            memory_space=vmem)
+
+    return pl.pallas_call(
+        one_solve,
+        grid=(n_tiles,),
+        in_specs=([pl.BlockSpec(memory_space=vmem)]
+                  + [_param_spec(p, lane)
+                     for p, lane in zip(params, per_lane_param)]
+                  + [_param_spec(p, lane)
+                     for p, lane in zip(ev_params, per_lane_evp)]
+                  + [pl.BlockSpec((D, Bb), lambda i: (0, i),
+                                  memory_space=vmem)]),
+        out_specs=(pl.BlockSpec((1, Bb), lambda i: (0, i),
+                                memory_space=vmem),
+                   pl.BlockSpec((D, Bb), lambda i: (0, i),
+                                memory_space=vmem),
+                   pl.BlockSpec((1, Bb), lambda i: (0, i),
+                                memory_space=vmem),
+                   pl.BlockSpec((1, Bb), lambda i: (0, i),
+                                memory_space=vmem),
+                   pl.BlockSpec((1, Bb), lambda i: (0, i),
+                                memory_space=vmem)),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(jnp.stack([t0, t0]), *params, *ev_params, y0)

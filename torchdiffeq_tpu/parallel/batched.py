@@ -15,7 +15,14 @@ Two execution paths:
   (`ops/pallas_kernels.dopri5_integrate_batched`): every VPU lane owns one
   trajectory resident in VMEM, with zero HBM traffic and zero loop dispatch
   between steps — measured ~3.7x over the vmap path for many small ODEs.
-  Problems that do not qualify fall back to vmap transparently.
+  With ``event_fn`` the kernel instead watches a per-lane event sign and
+  bisects every lane's bracketing interpolant after the loop
+  (`dopri5_events_batched`) — fused per-lane event solves.  Problems that
+  do not qualify fall back to vmap transparently.
+
+Args whose LAST dim equals the batch size are treated as PER-SAMPLE on
+both paths (`func` receives `arg[..., i]` for sample i); other args are
+shared.
 
 `odeint_per_sample` returns solutions stacked as (B, T, ...) plus per-sample
 `Stats` (so NFE/step counts are per trajectory) in the `_with_stats`
@@ -39,7 +46,7 @@ _PALLAS_OPTS = {'pallas', 'first_step', 'safety', 'ifactor', 'dfactor',
 def _pallas_qualifies(y0, t, rtol, atol, method, options, event_fn):
     if not isinstance(options, dict) or not options.get('pallas'):
         return None
-    if method not in (None, 'dopri5') or event_fn is not None:
+    if method not in (None, 'dopri5'):
         return None
     if set(options) - _PALLAS_OPTS:
         return None
@@ -59,6 +66,24 @@ def _pallas_qualifies(y0, t, rtol, atol, method, options, event_fn):
     return t_np
 
 
+def _lane_field(func, args, B):
+    """Lane-vectorise a per-sample ``func(t, y_i, *args)`` to the kernel
+    layout (t (1,b), y (D,b) with the batch on lanes).  Args whose LAST dim
+    equals the batch size are per-sample (the kernel blocks them per lane,
+    matching `per_lane_param` in ops/pallas_kernels.py); others are shared.
+    """
+    lane_flags = tuple(hasattr(p, 'ndim') and p.ndim >= 1
+                       and p.shape[-1] == B for p in args)
+    axes = tuple(-1 if fl else None for fl in lane_flags)
+
+    def field(tv, yv, *params):
+        per_lane = lambda tt, yy, *ps: func(tt, yy, *ps)
+        return jax.vmap(per_lane, in_axes=(0, 1) + axes,
+                        out_axes=1)(tv[0], yv, *params)
+
+    return field
+
+
 def _pallas_per_sample(func, y0, t_np, rtol, atol, options, args):
     from ..ops.pallas_kernels import dopri5_integrate_batched
 
@@ -69,10 +94,7 @@ def _pallas_per_sample(func, y0, t_np, rtol, atol, options, args):
     # statically.
     ts = np.asarray(t_np, dtype)
 
-    def field(tv, yv, *params):
-        # kernel layout: yv (D, b) with the batch on lanes, tv (1, b)
-        per_lane = lambda tt, yy: func(tt, yy, *params)
-        return jax.vmap(per_lane, in_axes=(0, 1), out_axes=1)(tv[0], yv)
+    field = _lane_field(func, args, B)
 
     max_steps = int(options.get('max_num_steps', 10_000))
     ys, acc, stp = dopri5_integrate_batched(
@@ -94,6 +116,57 @@ def _pallas_per_sample(func, y0, t_np, rtol, atol, options, args):
         n_rejected=stp_b - acc_b,
         error_code=jnp.where(stp_b >= max_steps, ERR_MAX_NUM_STEPS, OK))
     return ys, stats
+
+
+def _pallas_per_sample_event(func, y0, t0, event_fn, rtol, atol, options,
+                             args):
+    """Per-lane event solves in ONE fused kernel: every lane integrates
+    until ITS OWN event fires (`ops/pallas_kernels.dopri5_events_batched`).
+    Multi-output event functions are sign-combined per sample (reference
+    event_handling.py:23-35); the initial signs ride the kernel's
+    `ev_params` channel since kernel closures cannot capture traced
+    arrays.  Result shape matches the vmap fallback:
+    ``((event_t (B,), ys (B, 2, D)), per-sample Stats)`` with
+    `error_code=ERR_MAX_NUM_STEPS` on lanes whose event never fired
+    (their `event_t` is NaN).
+    """
+    from ..ops.pallas_kernels import dopri5_events_batched
+
+    B, D = y0.shape
+    dtype = y0.dtype
+    field = _lane_field(func, args, B)
+
+    sign0 = jax.lax.stop_gradient(
+        jnp.sign(jax.vmap(lambda yy: jnp.atleast_1d(
+            event_fn(jnp.asarray(t0, dtype), yy)))(y0))).T    # (K, B)
+
+    def ev(tv, yv, s0):
+        def one(tt, yy, s_i):
+            return jnp.min(jnp.atleast_1d(event_fn(tt, yy)) * s_i)
+        return jax.vmap(one, in_axes=(0, 1, 1),
+                        out_axes=0)(tv[0], yv, s0)[None]
+
+    max_steps = int(options.get('max_num_steps', 10_000))
+    et, ye, found, acc, stp = dopri5_events_batched(
+        field, jnp.asarray(y0).T, t0, ev,
+        rtol=float(rtol), atol=float(atol), params=tuple(args),
+        ev_params=(sign0,), max_steps=max_steps,
+        safety=float(options.get('safety', 0.9)),
+        ifactor=float(options.get('ifactor', 10.0)),
+        dfactor=float(options.get('dfactor', 0.2)),
+        first_step=options.get('first_step'),
+        interpret=bool(options.get('interpret', False)))
+
+    event_t = et[0]                                       # (B,)
+    ys2 = jnp.stack([jnp.asarray(y0), ye.T], axis=1)      # (B, 2, D)
+    stp_b = stp[0]
+    acc_b = acc[0]
+    init_nfe = 1 if options.get('first_step') is not None else 2
+    stats = Stats.make(
+        nfe=6 * stp_b + init_nfe, n_steps=stp_b, n_accepted=acc_b,
+        n_rejected=stp_b - acc_b,
+        error_code=jnp.where(found[0] > 0, OK, ERR_MAX_NUM_STEPS))
+    return (event_t, ys2), stats
 
 
 def odeint_per_sample(func, y0, t, args=(), **kwargs):
@@ -122,11 +195,22 @@ def odeint_per_sample_with_stats(func, y0, t, args=(), *, rtol=1e-7,
     """Like `odeint_per_sample`, also returning per-sample `Stats`."""
     t_np = _pallas_qualifies(y0, t, rtol, atol, method, options, event_fn)
     if t_np is not None and not kwargs:
+        if event_fn is not None:
+            return _pallas_per_sample_event(func, y0, float(t_np[0]),
+                                            event_fn, rtol, atol, options,
+                                            args)
         return _pallas_per_sample(func, y0, t_np, rtol, atol, options, args)
     if isinstance(options, dict) and 'pallas' in options:
         options = {k: v for k, v in options.items() if k != 'pallas'}
+    # same per-sample-args convention as the kernel path: an arg whose last
+    # dim equals the batch size maps per sample, others are shared
+    B = jax.tree_util.tree_leaves(y0)[0].shape[0]
+    axes = tuple(-1 if (hasattr(p, 'ndim') and p.ndim >= 1
+                        and p.shape[-1] == B) else None for p in args)
     return jax.vmap(
-        lambda y0_: odeint_with_stats(func, y0_, t, rtol=rtol, atol=atol,
-                                      method=method, options=options,
-                                      event_fn=event_fn, args=args,
-                                      **kwargs))(y0)
+        lambda y0_, *args_: odeint_with_stats(func, y0_, t, rtol=rtol,
+                                              atol=atol, method=method,
+                                              options=options,
+                                              event_fn=event_fn, args=args_,
+                                              **kwargs),
+        in_axes=(0,) + axes)(y0, *args)
