@@ -42,6 +42,28 @@ parser.add_argument('--steps_per_epoch', type=int, default=100)
 parser.add_argument('--seed', type=int, default=0)
 
 
+def load_mnist_npz(data_dir):
+    """Load real MNIST from ``{data_dir}/mnist.npz`` (Keras archive layout:
+    x_train/y_train/x_test/y_test).  This environment cannot download it;
+    drop the file in place to train on real data.  Normalisation matches
+    the reference (mean 0.1307, std 0.3081, odenet_mnist.py:276-330)."""
+    import os
+    path = os.path.join(data_dir, 'mnist.npz')
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"--data mnist requires {path} with keys x_train/y_train/"
+            f"x_test/y_test (e.g. the Keras mnist.npz archive); this "
+            f"zero-egress environment cannot download it — use "
+            f"--data synthetic instead")
+    with np.load(path) as d:
+        xtr = (d['x_train'].astype(np.float32) / 255.0 - 0.1307) / 0.3081
+        ytr = d['y_train'].astype(np.int32)
+        xte = (d['x_test'].astype(np.float32) / 255.0 - 0.1307) / 0.3081
+        yte = d['y_test'].astype(np.int32)
+    return (jnp.asarray(xtr[..., None]), jnp.asarray(ytr),
+            jnp.asarray(xte[..., None]), jnp.asarray(yte))
+
+
 def synthetic_digits(key, n, size=16):
     """10-class synthetic 'digit' dataset: each class is a fixed random
     blob pattern plus noise."""
@@ -151,9 +173,12 @@ def main():
     key = jax.random.PRNGKey(args.seed)
 
     key, dkey = jax.random.split(key)
-    all_x, all_y = synthetic_digits(dkey, 5120)  # shared class prototypes
-    train_x, train_y = all_x[:4096], all_y[:4096]
-    test_x, test_y = all_x[4096:], all_y[4096:]
+    if args.data == 'mnist':
+        train_x, train_y, test_x, test_y = load_mnist_npz(args.data_dir)
+    else:
+        all_x, all_y = synthetic_digits(dkey, 5120)  # shared prototypes
+        train_x, train_y = all_x[:4096], all_y[:4096]
+        test_x, test_y = all_x[4096:], all_y[4096:]
 
     key, mkey = jax.random.split(key)
     model = init_model(mkey, args)
