@@ -293,7 +293,15 @@ def main():
         "unit": "vf_evals_per_sec",
         "vs_baseline": (round(vs_baseline, 3)
                         if vs_baseline == vs_baseline else None),
-        "detail": {"jax": {k: (round(v, 6) if isinstance(v, float) else v)
+        "detail": {"note": ("nfe differs by design: both frameworks make "
+                            "identical forward solves (nfe_forward equal), "
+                            "but the jax adjoint backward is ONE fused "
+                            "reverse solve over the whole span while the "
+                            "reference restarts its solver + init probe "
+                            "per output interval — fewer evals for the "
+                            "same gradients, so evals/sec understates the "
+                            "wall-clock step_seconds ratio"),
+                   "jax": {k: (round(v, 6) if isinstance(v, float) else v)
                            for k, v in jax_res.items()},
                    "torch_cpu": {k: (round(v, 6) if isinstance(v, float) else v)
                                  for k, v in torch_res.items()},
