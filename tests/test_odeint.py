@@ -258,3 +258,20 @@ def test_pi_controller():
                                         options=dict(controller='pi'))
     assert int(s_pi.n_rejected) < int(s_i.n_rejected)
     assert rel_error(sol, ys_pi) < 4e-3
+
+
+def test_pid_controller():
+    """Full PID controller (Söderlind digital-filter family): correct
+    solves; dcoeff=0 reduces EXACTLY to the PI controller."""
+    f, y0, t_points, sol = construct_problem(ode='linear')
+    ys_pid, s_pid = tde.odeint_with_stats(
+        f, y0, t_points, options=dict(controller='pid', dcoeff=0.2))
+    assert rel_error(sol, ys_pid) < 1e-5
+    assert int(s_pid.error_code) == 0
+
+    _, s_pi = tde.odeint_with_stats(f, y0, t_points,
+                                    options=dict(controller='pi'))
+    _, s_pid0 = tde.odeint_with_stats(
+        f, y0, t_points, options=dict(controller='pid', dcoeff=0.0))
+    assert int(s_pid0.n_steps) == int(s_pi.n_steps)
+    assert int(s_pid0.n_rejected) == int(s_pi.n_rejected)

@@ -164,6 +164,7 @@ def odeint_dense(func, y0, t0, t1, *, rtol=1e-7, atol=1e-9, method=None,
         nfe=jnp.int32(2), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
         err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=ts.dtype),
+        prev_ratio2=jnp.ones((), dtype=ts.dtype),
         t0_lo=jnp.zeros((), dtype=ts.dtype), t1_lo=jnp.zeros((), dtype=ts.dtype))
 
     def cond(state):

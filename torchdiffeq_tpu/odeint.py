@@ -50,7 +50,7 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
     _warn_unused('adaptive solver', opts,
                  {'first_step', 'step_t', 'jump_t', 'safety', 'ifactor',
                   'dfactor', 'min_step', 'max_step', 'max_num_steps',
-                  'controller', 'pcoeff', 'icoeff', 'replay_grad',
+                  'controller', 'pcoeff', 'icoeff', 'dcoeff', 'replay_grad',
                   'max_segments', 'compensated_time', 'stage_tol',
                   'max_iters', 'jump_state_fn', 'forward_grad'})
     step_fn = None
@@ -72,6 +72,7 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
         controller=opts.get('controller', 'i'),
         pcoeff=opts.get('pcoeff', 0.4),
         icoeff=opts.get('icoeff', 0.7),
+        dcoeff=opts.get('dcoeff', 0.0),
         compensated_time=opts.get('compensated_time', True),
         jump_state_fn=opts.get('jump_state_fn'))
 

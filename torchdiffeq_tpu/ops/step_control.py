@@ -98,3 +98,33 @@ def optimal_step_size_pi(last_step, error_ratio, prev_error_ratio, safety,
     zero_err = jnp.asarray(error_ratio) == 0
     factor = jnp.where(zero_err, ifactor, factor)
     return last_step * factor
+
+
+def optimal_step_size_pid(last_step, error_ratio, prev_error_ratio,
+                          prev2_error_ratio, safety, ifactor, dfactor, order,
+                          pcoeff=0.4, icoeff=0.7, dcoeff=0.0):
+    """Full proportional-integral-derivative step update (Söderlind,
+    "Digital filters in adaptive time-stepping"; the H211b/PID family used
+    by diffrax/OrdinaryDiffEq — neither PI nor PID exists in the
+    reference):
+
+        factor = safety * ratio^(-icoeff/order) * prev^(pcoeff/order)
+                        * prev2^(-dcoeff/order)
+
+    clamped to [dfactor, ifactor].  `dcoeff=0` reduces exactly to the PI
+    controller; a small positive `dcoeff` (e.g. 0.2) further damps step
+    oscillation on problems whose stiffness varies along the trajectory.
+    """
+    t_dtype = jnp.asarray(last_step).dtype
+    tiny = jnp.finfo(t_dtype).tiny
+    err = jnp.maximum(jnp.asarray(error_ratio).astype(t_dtype), tiny)
+    prev = jnp.maximum(jnp.asarray(prev_error_ratio).astype(t_dtype), tiny)
+    prev2 = jnp.maximum(jnp.asarray(prev2_error_ratio).astype(t_dtype), tiny)
+    ki = jnp.asarray(icoeff / order, dtype=t_dtype)
+    kp = jnp.asarray(pcoeff / order, dtype=t_dtype)
+    kd = jnp.asarray(dcoeff / order, dtype=t_dtype)
+    factor = safety * err ** (-ki) * prev ** kp * prev2 ** (-kd)
+    factor = jnp.clip(factor, dfactor, ifactor)
+    zero_err = jnp.asarray(error_ratio) == 0
+    factor = jnp.where(zero_err, ifactor, factor)
+    return last_step * factor

@@ -28,7 +28,8 @@ from ..ops import doubleword as dw
 from ..ops.interp import interp_fit, interp_evaluate
 from ..ops.rk_step import runge_kutta_step, weighted_sum
 from ..ops.step_control import (select_initial_step, compute_error_ratio,
-                                optimal_step_size, optimal_step_size_pi)
+                                optimal_step_size, optimal_step_size_pi,
+                                optimal_step_size_pid)
 from ..ops.tableaus import ButcherTableau
 from .solution import (Stats, OK, ERR_DT_UNDERFLOW, ERR_NONFINITE_STATE,
                        ERR_MAX_NUM_STEPS)
@@ -55,7 +56,8 @@ class _Carry(NamedTuple):
     steps_in_interval: jnp.ndarray  # reset at each emission (reference
                                     # counts max_num_steps per `_advance`)
     err: jnp.ndarray
-    prev_ratio: jnp.ndarray         # last accepted error ratio (PI controller)
+    prev_ratio: jnp.ndarray         # last accepted error ratio (PI/PID)
+    prev_ratio2: jnp.ndarray        # second-to-last accepted ratio (PID)
     # Compensation words for f32-time runs (ops/doubleword.py): the true
     # step boundaries are t0 + t0_lo and t1 + t1_lo.  Zero (and untouched)
     # when time is f64 or compensation is disabled, preserving the exact
@@ -78,9 +80,10 @@ class AdaptiveConfig(NamedTuple):
     min_step: float = 0.0
     max_step: float = float('inf')
     max_num_steps: int = 2 ** 31 - 1
-    controller: str = 'i'    # 'i' (reference parity) or 'pi'
+    controller: str = 'i'    # 'i' (reference parity), 'pi', or 'pid'
     pcoeff: float = 0.4
     icoeff: float = 0.7
+    dcoeff: float = 0.0
     # Double-word time accumulation when the time dtype is f32 (i.e. x64 is
     # unavailable — the TPU default).  Matches the reference's f64-timelike
     # contract (rk_common.py:180-195) to ~49 mantissa bits.  No effect on
@@ -248,17 +251,28 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
     t_lo_next = jnp.where(accept, t1_lo, t0_lo) if use_dw else c.t1_lo
     y_next = jnp.where(accept, y1, y0)
     f_next = jnp.where(accept, f1, f0)
-    if cfg.controller == 'pi':
+    if cfg.controller == 'pid':
+        dt_next = optimal_step_size_pid(dt, error_ratio, c.prev_ratio,
+                                        c.prev_ratio2, cfg.safety,
+                                        cfg.ifactor, cfg.dfactor, tab.order,
+                                        cfg.pcoeff, cfg.icoeff, cfg.dcoeff)
+        prev_ratio = jnp.where(accept,
+                               jnp.asarray(error_ratio).astype(c.prev_ratio.dtype),
+                               c.prev_ratio)
+        prev_ratio2 = jnp.where(accept, c.prev_ratio, c.prev_ratio2)
+    elif cfg.controller == 'pi':
         dt_next = optimal_step_size_pi(dt, error_ratio, c.prev_ratio,
                                        cfg.safety, cfg.ifactor, cfg.dfactor,
                                        tab.order, cfg.pcoeff, cfg.icoeff)
         prev_ratio = jnp.where(accept,
                                jnp.asarray(error_ratio).astype(c.prev_ratio.dtype),
                                c.prev_ratio)
+        prev_ratio2 = c.prev_ratio2
     else:
         dt_next = optimal_step_size(dt, error_ratio, cfg.safety, cfg.ifactor,
                                     cfg.dfactor, tab.order)
         prev_ratio = c.prev_ratio
+        prev_ratio2 = c.prev_ratio2
     dt_next = jnp.clip(dt_next, cfg.min_step, cfg.max_step)
 
     step_idx, jump_idx = c.step_idx, c.jump_idx
@@ -272,7 +286,7 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
     stepped = c._replace(
         y1=y_next, f1=f_next, t0=t0, t1=t_next, dt=dt_next, coeff=coeff,
         t0_lo=t0_lo, t1_lo=t_lo_next,
-        prev_ratio=prev_ratio,
+        prev_ratio=prev_ratio, prev_ratio2=prev_ratio2,
         step_idx=step_idx, jump_idx=jump_idx,
         nfe=c.nfe + nfe + jump_reeval.astype(jnp.int32),
         n_steps=c.n_steps + 1,
@@ -334,6 +348,7 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
         nfe=jnp.int32(nfe0), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
         err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=t_dtype),
+        prev_ratio2=jnp.ones((), dtype=t_dtype),
         t0_lo=zero_t, t1_lo=zero_t)
 
     def past_t1(c, t):
@@ -465,6 +480,7 @@ def integrate_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig):
         nfe=jnp.int32(nfe0), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
         err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=t_dtype),
+        prev_ratio2=jnp.ones((), dtype=t_dtype),
         t0_lo=zero_t, t1_lo=zero_t)
 
     def cond(c):

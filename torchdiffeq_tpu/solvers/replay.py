@@ -85,6 +85,7 @@ def record_segments(func, y0, ts, cfg: AdaptiveConfig, max_segments):
         nfe=jnp.int32(nfe0), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
         err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=ts.dtype),
+        prev_ratio2=jnp.ones((), dtype=ts.dtype),
         t0_lo=jnp.zeros((), dtype=t_dtype), t1_lo=jnp.zeros((), dtype=t_dtype))
 
     def cond(state):
@@ -295,6 +296,7 @@ def record_segments_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig,
         nfe=jnp.int32(nfe0), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
         err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=t_dtype),
+        prev_ratio2=jnp.ones((), dtype=t_dtype),
         t0_lo=jnp.zeros((), dtype=t_dtype), t1_lo=jnp.zeros((), dtype=t_dtype))
 
     def cond(state):
