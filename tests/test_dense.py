@@ -100,3 +100,19 @@ def test_dense_returnable_from_jit():
 
     sol = solve(y0)
     assert abs(float(sol(jnp.array(1.0))[0]) - np.exp(-1.)) < 1e-6
+
+
+def test_dense_find_event_multi_output():
+    """Multi-output event fns are sign-combined like odeint_event
+    (events.py:46-56); time-dependent event fns never see the inf
+    padding boundaries."""
+    f, y0 = exp_problem()
+    sol = tde.odeint_dense(f, y0, 0., 2.)
+    # two outputs: y - 0.5 crosses at ln 2; y - 10 never crosses
+    ev_t, y_ev = sol.find_event(
+        lambda t, y: jnp.stack([y[0] - 0.5, y[0] - 10.0]))
+    assert abs(float(ev_t) - np.log(2.)) < 1e-5
+    # time-dependent event fn (would NaN at the inf-filled padding)
+    ev_t2, _ = sol.find_event(lambda t, y: jnp.sin(t) - y[0])
+    # root of sin(t) = exp(-t): t ~ 0.5885327
+    assert abs(float(ev_t2) - 0.5885327) < 1e-4

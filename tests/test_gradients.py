@@ -304,3 +304,22 @@ def test_forward_grad_noop_on_fixed_methods():
                                np.exp(-np.asarray(t)), rtol=1e-5)
     g = jax.grad(lambda y: jnp.sum(solve(y)))(y0)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_adjoint_max_num_steps_is_per_interval():
+    """A user adjoint max_num_steps budget keeps its reference semantics
+    (per backward interval) under the fused single-sweep backward: the
+    fused solve scales the budget by T-1, so a budget that suffices per
+    interval yields correct finite gradients, not a truncated sweep."""
+    f = lambda t, y: -y
+    t = jnp.linspace(0., 2., 10)
+    y0 = jnp.array([1.0])
+
+    def loss(y0_):
+        ys = tde.odeint_adjoint(f, y0_, t,
+                                adjoint_options=dict(max_num_steps=50))
+        return jnp.sum(ys[-1])
+
+    g = np.asarray(jax.grad(loss)(y0))
+    assert np.isfinite(g).all()
+    np.testing.assert_allclose(g[0], np.exp(-2.), rtol=1e-5)

@@ -283,8 +283,9 @@ def test_per_sample_event_multi_output_and_not_found():
     assert (codes[will_fire] == 0).all()
 
 
-def test_per_sample_args_per_sample_convention():
-    """Args whose last dim equals B map per sample on BOTH paths."""
+def test_per_sample_args_axes():
+    """args_axes maps an arg per sample on BOTH paths; args stay shared
+    by default (even when a shared arg's last dim coincides with B)."""
     from torchdiffeq_tpu.parallel import odeint_per_sample
 
     B = 16
@@ -296,11 +297,29 @@ def test_per_sample_args_per_sample_convention():
         return -lam_i * yy
 
     # vmap path (no pallas flag)
-    ys = odeint_per_sample(func, y0, t, args=(lam,), rtol=1e-7, atol=1e-9)
+    ys = odeint_per_sample(func, y0, t, args=(lam,), args_axes=(-1,),
+                          rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(ys[:, -1, 0]),
                                np.exp(-np.asarray(lam)), atol=1e-5)
     # kernel path
-    ys2 = odeint_per_sample(func, y0, t, args=(lam,), rtol=1e-7, atol=1e-9,
+    ys2 = odeint_per_sample(func, y0, t, args=(lam,), args_axes=(-1,),
+                            rtol=1e-7, atol=1e-9,
                             options=dict(pallas=True, interpret=True))
     np.testing.assert_allclose(np.asarray(ys2[:, -1, 0]),
                                np.exp(-np.asarray(lam)), atol=1e-5)
+
+    # default: shared, even though the arg's last dim equals B — a shared
+    # (B,)-shaped coupling weight reaches func whole on both paths
+    def func_shared(tt, yy, w):
+        return -jnp.mean(w) * yy
+
+    ys3 = odeint_per_sample(func_shared, y0, t, args=(lam,),
+                            rtol=1e-7, atol=1e-9)
+    ys4 = odeint_per_sample(func_shared, y0, t, args=(lam,),
+                            rtol=1e-7, atol=1e-9,
+                            options=dict(pallas=True, interpret=True))
+    m = float(jnp.mean(lam))
+    np.testing.assert_allclose(np.asarray(ys3[:, -1, 0]), np.exp(-m),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ys4[:, -1, 0]), np.exp(-m),
+                               atol=1e-5)

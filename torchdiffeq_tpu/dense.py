@@ -108,12 +108,21 @@ class DenseSolution:
         """
         from .events import find_event as _bisect
 
-        user_t = self.t_sign * self.times        # user-facing times
-        ev = lambda tu: event_fn(tu, self._eval_scalar(tu))
-        vals = jax.vmap(ev)(user_t)              # (max_segments + 1,)
-        sign0 = jnp.sign(vals[0])
         n = jnp.arange(self.times.shape[0])
-        changed = (jnp.sign(vals) != sign0) & (n <= self.count)
+        # clamp the inf-filled padding boundaries to t0 so the user event
+        # function is never evaluated at t=inf (NaN under jax_debug_nans)
+        times = jnp.where(n <= self.count, self.times, self.times[0])
+        user_t = self.t_sign * times             # user-facing times
+
+        # multi-output event functions: sign-combine per the odeint_event
+        # contract (initially positive, min over outputs; events.py:46-56)
+        ev_raw = lambda tu: jnp.atleast_1d(event_fn(tu, self._eval_scalar(tu)))
+        sign0_vec = jax.lax.stop_gradient(jnp.sign(ev_raw(user_t[0])))
+        combined = lambda tu, yu: jnp.min(
+            jnp.atleast_1d(event_fn(tu, yu)) * sign0_vec)
+
+        vals = jax.vmap(lambda tu: combined(tu, self._eval_scalar(tu)))(user_t)
+        changed = (jnp.sign(vals) != 1.0) & (n <= self.count)
         j = jnp.argmax(changed)                  # first boundary past the root
         found = changed[j]
         j = jnp.maximum(j, 1)
@@ -121,8 +130,8 @@ class DenseSolution:
         t_lo_u = self.t_sign * self.times[j - 1]
         t_hi_u = self.t_sign * self.times[j]
         # bisect in user time; the interpolant handles the sign internally
-        event_t, _ = _bisect(self._eval_scalar, sign0,
-                             t_lo_u, t_hi_u, event_fn, tol)
+        event_t, _ = _bisect(self._eval_scalar, jnp.asarray(1.0),
+                             t_lo_u, t_hi_u, combined, tol)
         event_t = jnp.where(found, event_t, jnp.nan)
         return event_t, self._eval_scalar(event_t)
 

@@ -166,7 +166,8 @@ def _dopri5_consts(dtype):
 
 
 def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
-                             atol=1e-6, params=(), max_steps=10_000,
+                             atol=1e-6, params=(), per_lane_params=None,
+                             max_steps=10_000,
                              safety=0.9, ifactor=10.0, dfactor=0.2,
                              first_step=None, block_b=None, interpret=False):
     """Adaptive dopri5 over a huge batch of small ODEs, fused into ONE
@@ -246,9 +247,13 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
         raise ValueError(f"batch {B} must be divisible by block_b {block_b}")
     n_tiles = B // block_b
     Bb = block_b
-    # params with a per-lane last dim are blocked with the state
+    # per-lane params are blocked with the state; explicit flags
+    # (per_lane_params) override the last-dim-equals-B shape heuristic
     params_orig = params
-    per_lane_param = [p.ndim >= 1 and p.shape[-1] == B for p in params]
+    if per_lane_params is None:
+        per_lane_param = [p.ndim >= 1 and p.shape[-1] == B for p in params]
+    else:
+        per_lane_param = list(per_lane_params)
     # Mosaic rejects BLOCKED 1-D operands when the lane tiling disagrees
     # with the XLA layout; promote 1-D per-lane params to (1, B) for the
     # kernel and unwrap the leading row inside.
@@ -475,7 +480,8 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
 # ---------------------------------------------------------------------------
 
 def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
-                          params=(), ev_params=(), max_steps=10_000, safety=0.9,
+                          params=(), per_lane_params=None, ev_params=(),
+                          per_lane_ev_params=None, max_steps=10_000, safety=0.9,
                           ifactor=10.0, dfactor=0.2, first_step=None,
                           block_b=None, bisect_iters=40, interpret=False):
     """Per-lane adaptive dopri5 until `event_fn` crosses zero, fused into
@@ -532,8 +538,14 @@ def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
         raise ValueError(f"batch {B} must be divisible by block_b {block_b}")
     n_tiles = B // block_b
     Bb = block_b
-    per_lane_param = [p.ndim >= 1 and p.shape[-1] == B for p in params]
-    per_lane_evp = [p.ndim >= 1 and p.shape[-1] == B for p in ev_params]
+    if per_lane_params is None:
+        per_lane_param = [p.ndim >= 1 and p.shape[-1] == B for p in params]
+    else:
+        per_lane_param = list(per_lane_params)
+    if per_lane_ev_params is None:
+        per_lane_evp = [p.ndim >= 1 and p.shape[-1] == B for p in ev_params]
+    else:
+        per_lane_evp = list(per_lane_ev_params)
     # promote blocked 1-D params to (1, B) — see dopri5_integrate_batched
     unwrap_param = [lane and p.ndim == 1
                     for p, lane in zip(params, per_lane_param)]

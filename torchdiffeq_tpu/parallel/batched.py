@@ -20,9 +20,10 @@ Two execution paths:
   (`dopri5_events_batched`) — fused per-lane event solves.  Problems that
   do not qualify fall back to vmap transparently.
 
-Args whose LAST dim equals the batch size are treated as PER-SAMPLE on
-both paths (`func` receives `arg[..., i]` for sample i); other args are
-shared.
+Args are SHARED across samples by default; pass ``args_axes`` (a tuple
+of `None`/axis-int per arg, like `jax.vmap`'s `in_axes`) to map an arg
+per sample.  The kernel path requires per-sample axes to be `-1` (the
+lane axis); other axes fall back to vmap.
 
 `odeint_per_sample` returns solutions stacked as (B, T, ...) plus per-sample
 `Stats` (so NFE/step counts are per trajectory) in the `_with_stats`
@@ -66,14 +67,22 @@ def _pallas_qualifies(y0, t, rtol, atol, method, options, event_fn):
     return t_np
 
 
-def _lane_field(func, args, B):
+def _norm_args_axes(args, args_axes):
+    """Normalise args_axes to a per-arg tuple of None / axis ints."""
+    if args_axes is None:
+        return (None,) * len(args)
+    args_axes = tuple(args_axes)
+    if len(args_axes) != len(args):
+        raise ValueError(f"args_axes has {len(args_axes)} entries for "
+                         f"{len(args)} args")
+    return args_axes
+
+
+def _lane_field(func, lane_flags):
     """Lane-vectorise a per-sample ``func(t, y_i, *args)`` to the kernel
-    layout (t (1,b), y (D,b) with the batch on lanes).  Args whose LAST dim
-    equals the batch size are per-sample (the kernel blocks them per lane,
-    matching `per_lane_param` in ops/pallas_kernels.py); others are shared.
-    """
-    lane_flags = tuple(hasattr(p, 'ndim') and p.ndim >= 1
-                       and p.shape[-1] == B for p in args)
+    layout (t (1,b), y (D,b) with the batch on lanes).  `lane_flags` marks
+    which args are per-sample (mapped over their last axis — the kernel
+    blocks exactly those per lane)."""
     axes = tuple(-1 if fl else None for fl in lane_flags)
 
     def field(tv, yv, *params):
@@ -84,7 +93,8 @@ def _lane_field(func, args, B):
     return field
 
 
-def _pallas_per_sample(func, y0, t_np, rtol, atol, options, args):
+def _pallas_per_sample(func, y0, t_np, rtol, atol, options, args,
+                       lane_flags):
     from ..ops.pallas_kernels import dopri5_integrate_batched
 
     B, D = y0.shape
@@ -94,13 +104,13 @@ def _pallas_per_sample(func, y0, t_np, rtol, atol, options, args):
     # statically.
     ts = np.asarray(t_np, dtype)
 
-    field = _lane_field(func, args, B)
+    field = _lane_field(func, lane_flags)
 
     max_steps = int(options.get('max_num_steps', 10_000))
     ys, acc, stp = dopri5_integrate_batched(
         field, jnp.asarray(y0).T, ts[0], ts[-1], ts=ts,
         rtol=float(rtol), atol=float(atol), params=tuple(args),
-        max_steps=max_steps,
+        per_lane_params=lane_flags, max_steps=max_steps,
         safety=float(options.get('safety', 0.9)),
         ifactor=float(options.get('ifactor', 10.0)),
         dfactor=float(options.get('dfactor', 0.2)),
@@ -119,7 +129,7 @@ def _pallas_per_sample(func, y0, t_np, rtol, atol, options, args):
 
 
 def _pallas_per_sample_event(func, y0, t0, event_fn, rtol, atol, options,
-                             args):
+                             args, lane_flags):
     """Per-lane event solves in ONE fused kernel: every lane integrates
     until ITS OWN event fires (`ops/pallas_kernels.dopri5_events_batched`).
     Multi-output event functions are sign-combined per sample (reference
@@ -134,7 +144,7 @@ def _pallas_per_sample_event(func, y0, t0, event_fn, rtol, atol, options,
 
     B, D = y0.shape
     dtype = y0.dtype
-    field = _lane_field(func, args, B)
+    field = _lane_field(func, lane_flags)
 
     sign0 = jax.lax.stop_gradient(
         jnp.sign(jax.vmap(lambda yy: jnp.atleast_1d(
@@ -150,7 +160,8 @@ def _pallas_per_sample_event(func, y0, t0, event_fn, rtol, atol, options,
     et, ye, found, acc, stp = dopri5_events_batched(
         field, jnp.asarray(y0).T, t0, ev,
         rtol=float(rtol), atol=float(atol), params=tuple(args),
-        ev_params=(sign0,), max_steps=max_steps,
+        per_lane_params=lane_flags, ev_params=(sign0,),
+        per_lane_ev_params=(True,), max_steps=max_steps,
         safety=float(options.get('safety', 0.9)),
         ifactor=float(options.get('ifactor', 10.0)),
         dfactor=float(options.get('dfactor', 0.2)),
@@ -169,7 +180,7 @@ def _pallas_per_sample_event(func, y0, t0, event_fn, rtol, atol, options,
     return (event_t, ys2), stats
 
 
-def odeint_per_sample(func, y0, t, args=(), **kwargs):
+def odeint_per_sample(func, y0, t, args=(), args_axes=None, **kwargs):
     """Batched solve with independent per-sample step-size controllers.
 
     Args:
@@ -177,7 +188,11 @@ def odeint_per_sample(func, y0, t, args=(), **kwargs):
             where `y_i` is one sample (no batch axis).
         y0: state pytree with a leading batch axis on every leaf.
         t: (T,) shared output times.
-        args: extra arrays passed to `func` (shared across samples).
+        args: extra arrays passed to `func` (shared across samples
+            unless mapped by `args_axes`).
+        args_axes: optional per-arg tuple of `None` (shared) or an axis
+            int (mapped per sample, like `jax.vmap` in_axes).  The fused
+            kernel path supports only axis `-1`; other axes use vmap.
         **kwargs: forwarded to `odeint`.  ``options=dict(pallas=True)``
             requests the fused per-lane Pallas kernel (see module
             docstring); non-qualifying problems fall back to vmap.
@@ -185,28 +200,28 @@ def odeint_per_sample(func, y0, t, args=(), **kwargs):
     Returns:
         ys with shape (B, T, ...) per leaf.
     """
-    ys, _ = odeint_per_sample_with_stats(func, y0, t, args=args, **kwargs)
+    ys, _ = odeint_per_sample_with_stats(func, y0, t, args=args,
+                                         args_axes=args_axes, **kwargs)
     return ys
 
 
-def odeint_per_sample_with_stats(func, y0, t, args=(), *, rtol=1e-7,
-                                 atol=1e-9, method=None, options=None,
-                                 event_fn=None, **kwargs):
+def odeint_per_sample_with_stats(func, y0, t, args=(), args_axes=None,
+                                 *, rtol=1e-7, atol=1e-9, method=None,
+                                 options=None, event_fn=None, **kwargs):
     """Like `odeint_per_sample`, also returning per-sample `Stats`."""
+    axes = _norm_args_axes(args, args_axes)
     t_np = _pallas_qualifies(y0, t, rtol, atol, method, options, event_fn)
-    if t_np is not None and not kwargs:
+    kernel_ok = all(a in (None, -1) for a in axes)
+    if t_np is not None and not kwargs and kernel_ok:
+        lane_flags = tuple(a == -1 for a in axes)
         if event_fn is not None:
             return _pallas_per_sample_event(func, y0, float(t_np[0]),
                                             event_fn, rtol, atol, options,
-                                            args)
-        return _pallas_per_sample(func, y0, t_np, rtol, atol, options, args)
+                                            args, lane_flags)
+        return _pallas_per_sample(func, y0, t_np, rtol, atol, options,
+                                  args, lane_flags)
     if isinstance(options, dict) and 'pallas' in options:
         options = {k: v for k, v in options.items() if k != 'pallas'}
-    # same per-sample-args convention as the kernel path: an arg whose last
-    # dim equals the batch size maps per sample, others are shared
-    B = jax.tree_util.tree_leaves(y0)[0].shape[0]
-    axes = tuple(-1 if (hasattr(p, 'ndim') and p.ndim >= 1
-                        and p.shape[-1] == B) else None for p in args)
     return jax.vmap(
         lambda y0_, *args_: odeint_with_stats(func, y0_, t, rtol=rtol,
                                               atol=atol, method=method,

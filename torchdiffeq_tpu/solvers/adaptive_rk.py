@@ -189,6 +189,22 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
     if jump_t is not None and jump_t.shape[0] > 0:
         next_jump_t = jump_t[c.jump_idx]
         on_jump_t = in_window(next_jump_t)
+        if cfg.jump_state_fn is not None:
+            # Fused-adjoint interface points: gradient correctness requires
+            # the state-jump hook to fire even when a proposed step lands
+            # BITWISE-EXACTLY on the jump time (the strict reference window
+            # would skip it and stall jump_idx, silently dropping every
+            # remaining cotangent injection).  Including equality makes the
+            # truncation a no-op (t1 <- v == t1) while still firing the
+            # hook + far-side re-eval.  Only active with jump_state_fn, so
+            # plain step_t/jump_t NFE parity with the reference is kept.
+            if use_dw:
+                at_end = dw.dw_diff(next_jump_t, t1, t1_lo) == 0
+                past_t0 = dw.dw_diff(next_jump_t, t0, t0_lo) > 0
+            else:
+                at_end = next_jump_t == t1
+                past_t0 = t0 < next_jump_t
+            on_jump_t = on_jump_t | (past_t0 & at_end)
         on_step_t = on_step_t & ~on_jump_t
         t1 = jnp.where(on_jump_t, next_jump_t, t1)
         if use_dw:
