@@ -165,6 +165,138 @@ def _dopri5_consts(dtype):
             np.asarray(tab.c_mid, dtype))
 
 
+# ---- shared per-lane machinery (used by BOTH per-lane kernels below; a
+# numerics fix here reaches the integrate and the event kernel equally) ----
+
+def _resolve_per_lane(params, B, explicit):
+    """Per-lane blocking flags: explicit list wins, else the last-dim==B
+    shape heuristic."""
+    if explicit is None:
+        return [p.ndim >= 1 and p.shape[-1] == B for p in params]
+    return list(explicit)
+
+
+def _promote_lane_params(params, per_lane):
+    """Mosaic rejects BLOCKED 1-D operands when the lane tiling disagrees
+    with the XLA layout; promote 1-D per-lane params to (1, B) for the
+    kernel.  Returns (promoted params, unwrap flags for the kernel side)."""
+    unwrap = [lane and p.ndim == 1 for p, lane in zip(params, per_lane)]
+    promoted = tuple(p[None, :] if u else p for p, u in zip(params, unwrap))
+    return promoted, unwrap
+
+
+def _lane_param_spec(pl, vmem, Bb):
+    """BlockSpec factory: per-lane params blocked on the last (lane) axis,
+    shared params broadcast whole."""
+    def spec(p, lane):
+        if not lane:
+            return pl.BlockSpec(memory_space=vmem)
+        blk = p.shape[:-1] + (Bb,)
+        lead = (0,) * (p.ndim - 1)
+        return pl.BlockSpec(blk, lambda i, _l=lead: _l + (i,),
+                            memory_space=vmem)
+    return spec
+
+
+def _pad_rows_fn(field_like, D, pad_rows, Bb, dtype):
+    """Wrap a (D, b)-block function so it sees the TRUE state rows and its
+    output is re-padded to the sublane tile."""
+    def f(tv, yv):
+        fv = field_like(tv, yv[:D] if pad_rows else yv)
+        if pad_rows:
+            fv = jnp.concatenate(
+                [fv, jnp.zeros((pad_rows, Bb), dtype)], axis=0)
+        return fv
+    return f
+
+
+def _make_lane_ops(f, D, dtype, rtol, atol, alpha, beta, c_err, c_mid):
+    """Per-lane numerics shared by the integrate and event kernels:
+    lane-RMS error norm, the dopri5 stage sweep, quartic dense-output
+    fit/eval, and the vectorised Hairer initial-step heuristic
+    (ops/step_control.select_initial_step; reference misc.py:36-77)."""
+    tiny = jnp.finfo(dtype).tiny
+
+    def lane_rms(v2):
+        """Per-lane mean over the TRUE state dim of pre-squared rows."""
+        return jnp.sqrt(jnp.sum(v2, axis=0, keepdims=True) / float(D))
+
+    def stage_sweep(t, dt, y, f0):
+        ks = [f0]
+        yi = y
+        for i in range(len(alpha)):
+            acc = None
+            for j in range(i + 1):
+                if beta[i, j] == 0.0:
+                    continue
+                term = float(beta[i, j]) * ks[j]
+                acc = term if acc is None else acc + term
+            yi = y + dt * acc
+            ti = t + float(alpha[i]) * dt
+            ks.append(f(ti, yi))
+        y1 = yi  # dopri5 is FSAL: last stage sits at (t+dt, y1)
+        err = None
+        for j, c in enumerate(c_err):
+            if c == 0.0:
+                continue
+            term = float(c) * ks[j]
+            err = term if err is None else err + term
+        return y1, ks, dt * err
+
+    def y_mid_of(ks, y, dt1):
+        mid = None
+        for j, c in enumerate(c_mid):
+            if c == 0.0:
+                continue
+            term = float(c) * ks[j]
+            mid = term if mid is None else mid + term
+        return y + dt1 * mid
+
+    def interp_coeffs(y, y1, y_mid, f0, f1, dt):
+        a = 2 * dt * (f1 - f0) - 8 * (y1 + y) + 16 * y_mid
+        b = dt * (5 * f0 - 3 * f1) + 18 * y + 14 * y1 - 32 * y_mid
+        c = dt * (f1 - 4 * f0) - 11 * y - 5 * y1 + 16 * y_mid
+        return (y, dt * f0, c, b, a)   # ascending powers of x in [0,1]
+
+    def interp_at(coefs, x):
+        e, d, c, b, a = coefs
+        total = e + x * d
+        xp = x
+        for coef in (c, b, a):
+            xp = xp * x
+            total = total + xp * coef
+        return total
+
+    def hairer_dt(t_row, y_init, f0):
+        """Vectorised per-lane initial step; `t_row` is the (1, Bb) start
+        time row."""
+        scale = atol + rtol * jnp.abs(y_init)
+        d0 = lane_rms((y_init / scale) ** 2)
+        d1 = lane_rms((f0 / scale) ** 2)
+        h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6,
+                       0.01 * d0 / jnp.maximum(d1, tiny))
+        yp = y_init + h0 * f0
+        fp = f(t_row + h0, yp)
+        d2 = lane_rms(((fp - f0) / scale) ** 2) / jnp.maximum(h0, tiny)
+        d_max = jnp.maximum(d1, d2)
+        h1 = jnp.where((d1 <= 1e-15) & (d2 <= 1e-15),
+                       jnp.maximum(1e-6, h0 * 1e-3),
+                       (0.01 / jnp.maximum(d_max, tiny)) ** (1.0 / 5.0))
+        return jnp.minimum(100.0 * h0, h1)
+
+    class _Ops:
+        pass
+    ops = _Ops()
+    ops.tiny = tiny
+    ops.lane_rms = lane_rms
+    ops.stage_sweep = stage_sweep
+    ops.y_mid_of = y_mid_of
+    ops.interp_coeffs = interp_coeffs
+    ops.interp_at = interp_at
+    ops.hairer_dt = hairer_dt
+    return ops
+
+
 def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
                              atol=1e-6, params=(), per_lane_params=None,
                              max_steps=10_000,
@@ -249,18 +381,8 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
     Bb = block_b
     # per-lane params are blocked with the state; explicit flags
     # (per_lane_params) override the last-dim-equals-B shape heuristic
-    params_orig = params
-    if per_lane_params is None:
-        per_lane_param = [p.ndim >= 1 and p.shape[-1] == B for p in params]
-    else:
-        per_lane_param = list(per_lane_params)
-    # Mosaic rejects BLOCKED 1-D operands when the lane tiling disagrees
-    # with the XLA layout; promote 1-D per-lane params to (1, B) for the
-    # kernel and unwrap the leading row inside.
-    params = tuple(p[None, :] if (lane and p.ndim == 1) else p
-                   for p, lane in zip(params, per_lane_param))
-    unwrap_param = [lane and p.ndim == 2 and q.ndim == 1
-                    for p, q, lane in zip(params, params_orig, per_lane_param)]
+    per_lane_param = _resolve_per_lane(params, B, per_lane_params)
+    params, unwrap_param = _promote_lane_params(params, per_lane_param)
 
     def one_solve(scal_ref, *refs):
         param_refs = refs[:len(params)]
@@ -274,56 +396,14 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
         if pad_rows:
             y_init = jnp.concatenate(
                 [y_init, jnp.zeros((pad_rows, Bb), dtype)], axis=0)
-        tiny = jnp.finfo(dtype).tiny
-        span = t_end - t_start
 
-        def f(tv, yv):
-            fv = field(tv, yv[:D] if pad_rows else yv, *pvals)
-            if pad_rows:
-                fv = jnp.concatenate(
-                    [fv, jnp.zeros((pad_rows, Bb), dtype)], axis=0)
-            return fv
-
-        def lane_rms(v2):
-            """Per-lane mean over the TRUE state dim of pre-squared rows."""
-            return jnp.sqrt(jnp.sum(v2, axis=0, keepdims=True) / float(D))
-
-        def stage_sweep(t, dt, y, f0):
-            ks = [f0]
-            yi = y
-            for i in range(len(alpha)):
-                acc = None
-                for j in range(i + 1):
-                    if beta[i, j] == 0.0:
-                        continue
-                    term = float(beta[i, j]) * ks[j]
-                    acc = term if acc is None else acc + term
-                yi = y + dt * acc
-                ti = t + float(alpha[i]) * dt
-                ks.append(f(ti, yi))
-            y1 = yi  # dopri5 is FSAL: last stage sits at (t+dt, y1)
-            err = None
-            for j, c in enumerate(c_err):
-                if c == 0.0:
-                    continue
-                term = float(c) * ks[j]
-                err = term if err is None else err + term
-            return y1, ks, dt * err
-
-        def interp_coeffs(y, y1, y_mid, f0, f1, dt):
-            a = 2 * dt * (f1 - f0) - 8 * (y1 + y) + 16 * y_mid
-            b = dt * (5 * f0 - 3 * f1) + 18 * y + 14 * y1 - 32 * y_mid
-            c = dt * (f1 - 4 * f0) - 11 * y - 5 * y1 + 16 * y_mid
-            return (y, dt * f0, c, b, a)   # ascending powers of x in [0,1]
-
-        def interp_at(coefs, x):
-            e, d, c, b, a = coefs
-            total = e + x * d
-            xp = x
-            for coef in (c, b, a):
-                xp = xp * x
-                total = total + xp * coef
-            return total
+        f = _pad_rows_fn(lambda tv, yv: field(tv, yv, *pvals),
+                         D, pad_rows, Bb, dtype)
+        ops = _make_lane_ops(f, D, dtype, rtol, atol, alpha, beta, c_err,
+                             c_mid)
+        tiny = ops.tiny
+        lane_rms, stage_sweep = ops.lane_rms, ops.stage_sweep
+        interp_coeffs, interp_at = ops.interp_coeffs, ops.interp_at
 
         def cond(carry):
             t, dt, y, fc, acc, stp, out = carry
@@ -353,13 +433,7 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
             any_emit = jnp.any(any_mask)
 
             def do_emit():
-                mid = None
-                for j, c in enumerate(c_mid):
-                    if c == 0.0:
-                        continue
-                    term = float(c) * ks[j]
-                    mid = term if mid is None else mid + term
-                y_mid = y + dt_c[:1] * mid
+                y_mid = ops.y_mid_of(ks, y, dt_c[:1])
                 coefs = interp_coeffs(y, y1, y_mid, fc, f1, dt_c[:1])
                 dt_safe = jnp.where(dt_c[:1] > 0, dt_c[:1],
                                     jnp.ones_like(dt_c[:1]))
@@ -396,21 +470,7 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
         if first_step is not None:
             dt_v = jnp.asarray(first_step, dtype) + zero_like
         else:
-            # Hairer initial-step heuristic, vectorised per lane
-            # (ops/step_control.select_initial_step; reference misc.py:36-77)
-            scale = atol + rtol * jnp.abs(y_init)
-            d0 = lane_rms((y_init / scale) ** 2)
-            d1 = lane_rms((f0 / scale) ** 2)
-            h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6,
-                           0.01 * d0 / jnp.maximum(d1, tiny))
-            yp = y_init + h0 * f0
-            fp = f(t_v[:1] + h0, yp)
-            d2 = lane_rms(((fp - f0) / scale) ** 2) / jnp.maximum(h0, tiny)
-            d_max = jnp.maximum(d1, d2)
-            h1 = jnp.where((d1 <= 1e-15) & (d2 <= 1e-15),
-                           jnp.maximum(1e-6, h0 * 1e-3),
-                           (0.01 / jnp.maximum(d_max, tiny)) ** (1.0 / 5.0))
-            dt_v = jnp.minimum(100.0 * h0, h1) + zero_like
+            dt_v = ops.hairer_dt(t_v[:1], y_init, f0) + zero_like
 
         acc0 = zero_like
         # outputs at/below t_start are the initial state
@@ -436,13 +496,7 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
     if jax.default_backend() != 'tpu' and not interpret:
         interpret = True  # portable fallback
 
-    def _param_spec(p, lane):
-        if not lane:
-            return pl.BlockSpec(memory_space=vmem)
-        blk = p.shape[:-1] + (Bb,)
-        lead = (0,) * (p.ndim - 1)
-        return pl.BlockSpec(blk, lambda i, _l=lead: _l + (i,),
-                            memory_space=vmem)
+    _param_spec = _lane_param_spec(pl, vmem, Bb)
 
     ys, acc, stp = pl.pallas_call(
         one_solve,
@@ -538,23 +592,10 @@ def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
         raise ValueError(f"batch {B} must be divisible by block_b {block_b}")
     n_tiles = B // block_b
     Bb = block_b
-    if per_lane_params is None:
-        per_lane_param = [p.ndim >= 1 and p.shape[-1] == B for p in params]
-    else:
-        per_lane_param = list(per_lane_params)
-    if per_lane_ev_params is None:
-        per_lane_evp = [p.ndim >= 1 and p.shape[-1] == B for p in ev_params]
-    else:
-        per_lane_evp = list(per_lane_ev_params)
-    # promote blocked 1-D params to (1, B) — see dopri5_integrate_batched
-    unwrap_param = [lane and p.ndim == 1
-                    for p, lane in zip(params, per_lane_param)]
-    unwrap_evp = [lane and p.ndim == 1
-                  for p, lane in zip(ev_params, per_lane_evp)]
-    params = tuple(p[None, :] if u else p
-                   for p, u in zip(params, unwrap_param))
-    ev_params = tuple(p[None, :] if u else p
-                      for p, u in zip(ev_params, unwrap_evp))
+    per_lane_param = _resolve_per_lane(params, B, per_lane_params)
+    per_lane_evp = _resolve_per_lane(ev_params, B, per_lane_ev_params)
+    params, unwrap_param = _promote_lane_params(params, per_lane_param)
+    ev_params, unwrap_evp = _promote_lane_params(ev_params, per_lane_evp)
 
     def one_solve(scal_ref, *refs):
         param_refs = refs[:len(params)]
@@ -572,57 +613,18 @@ def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
         if pad_rows:
             y_init = jnp.concatenate(
                 [y_init, jnp.zeros((pad_rows, Bb), dtype)], axis=0)
-        tiny = jnp.finfo(dtype).tiny
 
-        def f(tv, yv):
-            fv = field(tv, yv[:D] if pad_rows else yv, *pvals)
-            if pad_rows:
-                fv = jnp.concatenate(
-                    [fv, jnp.zeros((pad_rows, Bb), dtype)], axis=0)
-            return fv
+        f = _pad_rows_fn(lambda tv, yv: field(tv, yv, *pvals),
+                         D, pad_rows, Bb, dtype)
 
         def ev(tv, yv):
             return event_fn(tv, yv[:D] if pad_rows else yv, *epvals)
 
-        def lane_rms(v2):
-            return jnp.sqrt(jnp.sum(v2, axis=0, keepdims=True) / float(D))
-
-        def stage_sweep(t, dt, y, f0):
-            ks = [f0]
-            yi = y
-            for i in range(len(alpha)):
-                acc = None
-                for j in range(i + 1):
-                    if beta[i, j] == 0.0:
-                        continue
-                    term = float(beta[i, j]) * ks[j]
-                    acc = term if acc is None else acc + term
-                yi = y + dt * acc
-                ti = t + float(alpha[i]) * dt
-                ks.append(f(ti, yi))
-            y1 = yi
-            err = None
-            for j, c in enumerate(c_err):
-                if c == 0.0:
-                    continue
-                term = float(c) * ks[j]
-                err = term if err is None else err + term
-            return y1, ks, dt * err
-
-        def interp_coeffs(y, y1, y_mid, f0, f1, dt):
-            a = 2 * dt * (f1 - f0) - 8 * (y1 + y) + 16 * y_mid
-            b = dt * (5 * f0 - 3 * f1) + 18 * y + 14 * y1 - 32 * y_mid
-            c = dt * (f1 - 4 * f0) - 11 * y - 5 * y1 + 16 * y_mid
-            return (y, dt * f0, c, b, a)
-
-        def interp_at(coefs, x):
-            e, d, c, b, a = coefs
-            total = e + x * d
-            xp = x
-            for coef in (c, b, a):
-                xp = xp * x
-                total = total + xp * coef
-            return total
+        ops = _make_lane_ops(f, D, dtype, rtol, atol, alpha, beta, c_err,
+                             c_mid)
+        tiny = ops.tiny
+        lane_rms, stage_sweep = ops.lane_rms, ops.stage_sweep
+        interp_coeffs, interp_at = ops.interp_coeffs, ops.interp_at
 
         zero_like = 0.0 * jax.lax.broadcasted_iota(
             jnp.int32, (8, Bb), 1).astype(dtype)
@@ -633,19 +635,7 @@ def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
         if first_step is not None:
             dt_v = jnp.asarray(first_step, dtype) + zero_like
         else:
-            scale = atol + rtol * jnp.abs(y_init)
-            d0 = lane_rms((y_init / scale) ** 2)
-            d1 = lane_rms((f0 / scale) ** 2)
-            h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6,
-                           0.01 * d0 / jnp.maximum(d1, tiny))
-            yp = y_init + h0 * f0
-            fp = f(t_v[:1] + h0, yp)
-            d2 = lane_rms(((fp - f0) / scale) ** 2) / jnp.maximum(h0, tiny)
-            d_max = jnp.maximum(d1, d2)
-            h1 = jnp.where((d1 <= 1e-15) & (d2 <= 1e-15),
-                           jnp.maximum(1e-6, h0 * 1e-3),
-                           (0.01 / jnp.maximum(d_max, tiny)) ** (1.0 / 5.0))
-            dt_v = jnp.minimum(100.0 * h0, h1) + zero_like
+            dt_v = ops.hairer_dt(t_v[:1], y_init, f0) + zero_like
 
         zeros_state = jnp.zeros_like(y_init)
         # bracket store: start time / width (1 sublane row kept on the
@@ -678,13 +668,7 @@ def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
             hit = jnp.broadcast_to(hit1, (8, Bb))
 
             def record():
-                mid = None
-                for j, c in enumerate(c_mid):
-                    if c == 0.0:
-                        continue
-                    term = float(c) * ks[j]
-                    mid = term if mid is None else mid + term
-                y_mid = y + dt_c[:1] * mid
+                y_mid = ops.y_mid_of(ks, y, dt_c[:1])
                 new_coefs = interp_coeffs(y, y1, y_mid, fc, f1, dt_c[:1])
                 stored = tuple(jnp.where(hit1, nc, oc)
                                for nc, oc in zip(new_coefs, coefs))
@@ -746,13 +730,7 @@ def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
 
     from jax.experimental import pallas as pl
 
-    def _param_spec(p, lane):
-        if not lane:
-            return pl.BlockSpec(memory_space=vmem)
-        blk = p.shape[:-1] + (Bb,)
-        lead = (0,) * (p.ndim - 1)
-        return pl.BlockSpec(blk, lambda i, _l=lead: _l + (i,),
-                            memory_space=vmem)
+    _param_spec = _lane_param_spec(pl, vmem, Bb)
 
     return pl.pallas_call(
         one_solve,
