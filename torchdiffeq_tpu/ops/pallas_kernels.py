@@ -156,13 +156,21 @@ def rk4_integrate(field, y0, t0, dt, n_steps, params=(), *, block_b=None,
 # Fused adaptive dopri5 with PER-LANE step-size control.
 # ---------------------------------------------------------------------------
 
-def _dopri5_consts(dtype):
+# explicit adaptive tableaus the per-lane kernels support (implicit
+# ESDIRK methods need in-kernel Newton solves and are excluded)
+PER_LANE_METHODS = ('dopri5', 'tsit5', 'bosh3', 'fehlberg2',
+                    'adaptive_heun', 'dopri8')
+
+
+def _tableau_consts(method, dtype):
     from . import tableaus
     import numpy as np
-    tab = tableaus.DOPRI5
+    tab = getattr(tableaus, method.upper())
+    assert not tab.implicit, method
     return (np.asarray(tab.alpha, dtype), np.asarray(tab.beta, dtype),
             np.asarray(tab.c_sol, dtype), np.asarray(tab.c_error, dtype),
-            np.asarray(tab.c_mid, dtype))
+            np.asarray(tab.c_mid, dtype), int(tab.order),
+            bool(tab.is_fsal))
 
 
 # ---- shared per-lane machinery (used by BOTH per-lane kernels below; a
@@ -210,7 +218,8 @@ def _pad_rows_fn(field_like, D, pad_rows, Bb, dtype):
     return f
 
 
-def _make_lane_ops(f, D, dtype, rtol, atol, alpha, beta, c_err, c_mid):
+def _make_lane_ops(f, D, dtype, rtol, atol, alpha, beta, c_sol, c_err,
+                   c_mid, order, fsal):
     """Per-lane numerics shared by the integrate and event kernels:
     lane-RMS error norm, the dopri5 stage sweep, quartic dense-output
     fit/eval, and the vectorised Hairer initial-step heuristic
@@ -234,7 +243,16 @@ def _make_lane_ops(f, D, dtype, rtol, atol, alpha, beta, c_err, c_mid):
             yi = y + dt * acc
             ti = t + float(alpha[i]) * dt
             ks.append(f(ti, yi))
-        y1 = yi  # dopri5 is FSAL: last stage sits at (t+dt, y1)
+        if fsal:
+            y1 = yi   # FSAL: the last stage sits at (t+dt, y1)
+        else:
+            acc = None
+            for j, c in enumerate(c_sol):
+                if c == 0.0:
+                    continue
+                term = float(c) * ks[j]
+                acc = term if acc is None else acc + term
+            y1 = y + dt * acc
         err = None
         for j, c in enumerate(c_err):
             if c == 0.0:
@@ -281,7 +299,8 @@ def _make_lane_ops(f, D, dtype, rtol, atol, alpha, beta, c_err, c_mid):
         d_max = jnp.maximum(d1, d2)
         h1 = jnp.where((d1 <= 1e-15) & (d2 <= 1e-15),
                        jnp.maximum(1e-6, h0 * 1e-3),
-                       (0.01 / jnp.maximum(d_max, tiny)) ** (1.0 / 5.0))
+                       (0.01 / jnp.maximum(d_max, tiny))
+                       ** (1.0 / float(order)))
         return jnp.minimum(100.0 * h0, h1)
 
     class _Ops:
@@ -298,7 +317,8 @@ def _make_lane_ops(f, D, dtype, rtol, atol, alpha, beta, c_err, c_mid):
 
 
 def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
-                             atol=1e-6, params=(), per_lane_params=None,
+                             atol=1e-6, method='dopri5',
+                             params=(), per_lane_params=None,
                              max_steps=10_000,
                              safety=0.9, ifactor=10.0, dfactor=0.2,
                              first_step=None, block_b=None, interpret=False):
@@ -352,7 +372,7 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
 
     D, B = y0.shape
     dtype = y0.dtype
-    alpha, beta, c_sol, c_err, c_mid = _dopri5_consts(dtype)
+    alpha, beta, c_sol, c_err, c_mid, order, fsal = _tableau_consts(method, dtype)
     t0 = jnp.asarray(t0, dtype)
     t1 = jnp.asarray(t1, dtype)
     max_steps = int(max_steps)
@@ -399,8 +419,8 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
 
         f = _pad_rows_fn(lambda tv, yv: field(tv, yv, *pvals),
                          D, pad_rows, Bb, dtype)
-        ops = _make_lane_ops(f, D, dtype, rtol, atol, alpha, beta, c_err,
-                             c_mid)
+        ops = _make_lane_ops(f, D, dtype, rtol, atol, alpha, beta,
+                             c_sol, c_err, c_mid, order, fsal)
         tiny = ops.tiny
         lane_rms, stage_sweep = ops.lane_rms, ops.stage_sweep
         interp_coeffs, interp_at = ops.interp_coeffs, ops.interp_at
@@ -415,7 +435,7 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
             dt_c = jnp.where(active, dt, jnp.zeros_like(dt))
             t_prop = t + dt_c
             y1, ks, err = stage_sweep(t[:1], dt_c[:1], y, fc)
-            f1 = ks[-1]
+            f1 = ks[-1] if fsal else f(t_prop[:1], y1)
             tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
             # per-sample RMS over the state dim, broadcast back to (8, Bb)
             ratio = jnp.broadcast_to(lane_rms((err / tol) ** 2), (8, Bb))
@@ -452,7 +472,7 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
             dfac = jnp.where(ratio < 1.0, jnp.ones_like(ratio), dfactor)
             factor = jnp.minimum(
                 ifactor, jnp.maximum(safety / jnp.maximum(ratio, tiny)
-                                     ** (1.0 / 5.0), dfac))
+                                     ** (1.0 / float(order)), dfac))
             dt = jnp.where(active, dt_c * factor, dt)
             acc = acc + accept.astype(dtype)
             stp = stp + active.astype(dtype)
@@ -534,6 +554,7 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
 # ---------------------------------------------------------------------------
 
 def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
+                          method='dopri5',
                           params=(), per_lane_params=None, ev_params=(),
                           per_lane_ev_params=None, max_steps=10_000, safety=0.9,
                           ifactor=10.0, dfactor=0.2, first_step=None,
@@ -571,7 +592,7 @@ def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
 
     D, B = y0.shape
     dtype = y0.dtype
-    alpha, beta, c_sol, c_err, c_mid = _dopri5_consts(dtype)
+    alpha, beta, c_sol, c_err, c_mid, order, fsal = _tableau_consts(method, dtype)
     t0 = jnp.asarray(t0, dtype)
     max_steps = int(max_steps)
     bisect_iters = int(bisect_iters)
@@ -620,8 +641,8 @@ def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
         def ev(tv, yv):
             return event_fn(tv, yv[:D] if pad_rows else yv, *epvals)
 
-        ops = _make_lane_ops(f, D, dtype, rtol, atol, alpha, beta, c_err,
-                             c_mid)
+        ops = _make_lane_ops(f, D, dtype, rtol, atol, alpha, beta,
+                             c_sol, c_err, c_mid, order, fsal)
         tiny = ops.tiny
         lane_rms, stage_sweep = ops.lane_rms, ops.stage_sweep
         interp_coeffs, interp_at = ops.interp_coeffs, ops.interp_at
@@ -658,7 +679,7 @@ def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
             dt_c = jnp.where(active, dt, jnp.zeros_like(dt))
             t_prop = t + dt_c
             y1, ks, err = stage_sweep(t[:1], dt_c[:1], y, fc)
-            f1 = ks[-1]
+            f1 = ks[-1] if fsal else f(t_prop[:1], y1)
             tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
             ratio = jnp.broadcast_to(lane_rms((err / tol) ** 2), (8, Bb))
             accept = (ratio <= 1.0) & active
@@ -685,7 +706,7 @@ def dopri5_events_batched(field, y0, t0, event_fn, *, rtol=1e-4, atol=1e-6,
             dfac = jnp.where(ratio < 1.0, jnp.ones_like(ratio), dfactor)
             factor = jnp.minimum(
                 ifactor, jnp.maximum(safety / jnp.maximum(ratio, tiny)
-                                     ** (1.0 / 5.0), dfac))
+                                     ** (1.0 / float(order)), dfac))
             dt = jnp.where(active, dt_c * factor, dt)
             acc = acc + accept.astype(dtype)
             stp = stp + active.astype(dtype)

@@ -45,9 +45,10 @@ _PALLAS_OPTS = {'pallas', 'first_step', 'safety', 'ifactor', 'dfactor',
 
 
 def _pallas_qualifies(y0, t, rtol, atol, method, options, event_fn):
+    from ..ops.pallas_kernels import PER_LANE_METHODS
     if not isinstance(options, dict) or not options.get('pallas'):
         return None
-    if method not in (None, 'dopri5'):
+    if method is not None and method not in PER_LANE_METHODS:
         return None
     if set(options) - _PALLAS_OPTS:
         return None
@@ -93,7 +94,14 @@ def _lane_field(func, lane_flags):
     return field
 
 
-def _pallas_per_sample(func, y0, t_np, rtol, atol, options, args,
+def _per_step_nfe(method):
+    from ..ops.pallas_kernels import _tableau_consts
+    import numpy as np
+    alpha, _, _, _, _, _, fsal = _tableau_consts(method, np.float32)
+    return len(alpha) + (0 if fsal else 1)
+
+
+def _pallas_per_sample(func, y0, t_np, rtol, atol, method, options, args,
                        lane_flags):
     from ..ops.pallas_kernels import dopri5_integrate_batched
 
@@ -109,7 +117,8 @@ def _pallas_per_sample(func, y0, t_np, rtol, atol, options, args,
     max_steps = int(options.get('max_num_steps', 10_000))
     ys, acc, stp = dopri5_integrate_batched(
         field, jnp.asarray(y0).T, ts[0], ts[-1], ts=ts,
-        rtol=float(rtol), atol=float(atol), params=tuple(args),
+        rtol=float(rtol), atol=float(atol), method=method,
+        params=tuple(args),
         per_lane_params=lane_flags, max_steps=max_steps,
         safety=float(options.get('safety', 0.9)),
         ifactor=float(options.get('ifactor', 10.0)),
@@ -122,14 +131,14 @@ def _pallas_per_sample(func, y0, t_np, rtol, atol, options, args,
     acc_b = acc[0]
     init_nfe = 1 if options.get('first_step') is not None else 2
     stats = Stats.make(
-        nfe=6 * stp_b + init_nfe, n_steps=stp_b, n_accepted=acc_b,
-        n_rejected=stp_b - acc_b,
+        nfe=_per_step_nfe(method) * stp_b + init_nfe, n_steps=stp_b,
+        n_accepted=acc_b, n_rejected=stp_b - acc_b,
         error_code=jnp.where(stp_b >= max_steps, ERR_MAX_NUM_STEPS, OK))
     return ys, stats
 
 
-def _pallas_per_sample_event(func, y0, t0, event_fn, rtol, atol, options,
-                             args, lane_flags):
+def _pallas_per_sample_event(func, y0, t0, event_fn, rtol, atol, method,
+                             options, args, lane_flags):
     """Per-lane event solves in ONE fused kernel: every lane integrates
     until ITS OWN event fires (`ops/pallas_kernels.dopri5_events_batched`).
     Multi-output event functions are sign-combined per sample (reference
@@ -159,7 +168,8 @@ def _pallas_per_sample_event(func, y0, t0, event_fn, rtol, atol, options,
     max_steps = int(options.get('max_num_steps', 10_000))
     et, ye, found, acc, stp = dopri5_events_batched(
         field, jnp.asarray(y0).T, t0, ev,
-        rtol=float(rtol), atol=float(atol), params=tuple(args),
+        rtol=float(rtol), atol=float(atol), method=method,
+        params=tuple(args),
         per_lane_params=lane_flags, ev_params=(sign0,),
         per_lane_ev_params=(True,), max_steps=max_steps,
         safety=float(options.get('safety', 0.9)),
@@ -174,8 +184,8 @@ def _pallas_per_sample_event(func, y0, t0, event_fn, rtol, atol, options,
     acc_b = acc[0]
     init_nfe = 1 if options.get('first_step') is not None else 2
     stats = Stats.make(
-        nfe=6 * stp_b + init_nfe, n_steps=stp_b, n_accepted=acc_b,
-        n_rejected=stp_b - acc_b,
+        nfe=_per_step_nfe(method) * stp_b + init_nfe, n_steps=stp_b,
+        n_accepted=acc_b, n_rejected=stp_b - acc_b,
         error_code=jnp.where(found[0] > 0, OK, ERR_MAX_NUM_STEPS))
     return (event_t, ys2), stats
 
@@ -214,12 +224,13 @@ def odeint_per_sample_with_stats(func, y0, t, args=(), args_axes=None,
     kernel_ok = all(a in (None, -1) for a in axes)
     if t_np is not None and not kwargs and kernel_ok:
         lane_flags = tuple(a == -1 for a in axes)
+        kmethod = method or 'dopri5'
         if event_fn is not None:
             return _pallas_per_sample_event(func, y0, float(t_np[0]),
-                                            event_fn, rtol, atol, options,
-                                            args, lane_flags)
-        return _pallas_per_sample(func, y0, t_np, rtol, atol, options,
-                                  args, lane_flags)
+                                            event_fn, rtol, atol, kmethod,
+                                            options, args, lane_flags)
+        return _pallas_per_sample(func, y0, t_np, rtol, atol, kmethod,
+                                  options, args, lane_flags)
     if isinstance(options, dict) and 'pallas' in options:
         options = {k: v for k, v in options.items() if k != 'pallas'}
     return jax.vmap(
