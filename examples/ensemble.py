@@ -1,0 +1,89 @@
+"""Ensemble integration demo: one fused TPU kernel for thousands of
+small independent ODEs, each with its own adaptive step-size controller.
+
+No reference counterpart (torchdiffeq batches through a SINGLE shared
+controller — one stiff sample shrinks everyone's steps; SURVEY.md §2 #9).
+This demonstrates the TPU-native per-sample tier:
+
+* `parallel.odeint_per_sample` — independent controllers per sample, via
+  `vmap` or, with ``options=dict(pallas=True)``, a fused Pallas kernel
+  where every VPU lane owns one trajectory resident in VMEM;
+* per-sample parameters via ``args_axes=(-1,)``;
+* per-lane EVENT solves: each oscillator reports the time of its own
+  first zero crossing, bisected in-kernel on its bracketing interpolant.
+
+Run: python examples/ensemble.py [--batch 4096] [--method tsit5]
+(CPU runs use the Pallas interpreter automatically.)
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchdiffeq_tpu.parallel import odeint_per_sample_with_stats
+
+parser = argparse.ArgumentParser()
+parser.add_argument('--batch', type=int, default=1024)
+parser.add_argument('--method', default='dopri5')
+parser.add_argument('--rtol', type=float, default=1e-6)
+args = parser.parse_args()
+
+B = args.batch
+rng = np.random.RandomState(0)
+
+# damped oscillators with per-sample frequency spanning two decades:
+# fast lanes need many steps, slow lanes few — exactly where a shared
+# controller wastes work.
+omega = jnp.asarray(np.exp(rng.uniform(0.0, np.log(60.0), B))
+                    .astype(np.float32))
+
+
+def field(t, y, om):
+    """One sample: y = (x, v), x'' = -om^2 x - 0.1 v."""
+    return jnp.stack([y[1], -om ** 2 * y[0] - 0.1 * y[1]])
+
+
+y0 = jnp.stack([jnp.ones(B, jnp.float32), jnp.zeros(B, jnp.float32)], axis=1)
+t = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float32)
+interpret = jax.default_backend() != 'tpu'
+
+# ---- forward ensemble solve, fused kernel vs vmap ------------------------
+common = dict(args=(omega,), args_axes=(-1,), rtol=args.rtol,
+              atol=args.rtol * 1e-2, method=args.method)
+ys_k, st_k = odeint_per_sample_with_stats(
+    field, y0, t, options=dict(pallas=True, interpret=interpret), **common)
+ys_v, st_v = odeint_per_sample_with_stats(field, y0, t, **common)
+
+err = float(jnp.max(jnp.abs(ys_k - ys_v)))
+steps = np.asarray(st_k.n_steps)
+print(f"ensemble of {B} oscillators ({args.method}): kernel-vs-vmap "
+      f"max diff {err:.2e} (dominated by phase error on the fastest "
+      f"lanes — hundreds of periods at tolerance)")
+print(f"per-sample adaptivity: steps min {steps.min()} / median "
+      f"{int(np.median(steps))} / max {steps.max()} "
+      f"(a shared controller would run every sample at ~{steps.max()})")
+assert err < 1e-2
+
+# ---- per-lane event solve: first zero crossing of x ----------------------
+(ev_t, y_ev), st_e = odeint_per_sample_with_stats(
+    field, y0, t, event_fn=lambda tt, yy: yy[0],
+    options=dict(pallas=True, interpret=interpret), **common)
+# lightly damped: first crossing near pi/(2 omega)
+approx = np.pi / 2 / np.asarray(omega)
+ev = np.asarray(ev_t)
+rel = np.max(np.abs(ev - approx) / approx)
+print(f"per-lane events: first zero crossings in "
+      f"[{ev.min():.4f}, {ev.max():.4f}] s, "
+      f"max rel dev from undamped pi/2w: {rel:.1%}")
+assert np.isfinite(ev).all() and (ev > 0).all()
+assert rel < 0.05       # damping shifts the crossing by < 5% here
+
+# Which path is faster is shape- and field-dependent (see
+# benchmarks/PERF.md and the kernel caveat in docs/OPTIONS.md) — the vmap
+# default is a strong baseline; profile before committing to the kernel.
+print("ok")

@@ -20,6 +20,7 @@ CONFIGS = {
     'bouncing_ball.py': [],
     'learn_physics.py': ['--niters', '120'],
     'parareal_demo.py': ['--slices', '8', '--iters', '4', '--mesh'],
+    'ensemble.py': ['--batch', '64'],
 }
 
 
