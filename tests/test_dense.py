@@ -116,3 +116,16 @@ def test_dense_find_event_multi_output():
     ev_t2, _ = sol.find_event(lambda t, y: jnp.sin(t) - y[0])
     # root of sin(t) = exp(-t): t ~ 0.5885327
     assert abs(float(ev_t2) - 0.5885327) < 1e-4
+
+
+def test_dense_find_event_zero_segment_solve():
+    """A solve whose first step already fails (count == 0) returns NaN
+    from find_event immediately — the bisection bracket uses the clamped
+    padding times, not the inf fill (which made the iteration count
+    undefined)."""
+    f = lambda t, y: y * y          # blow-up; huge y0 -> nonfinite fast
+    y0 = jnp.array([1e30])
+    sol = tde.odeint_dense(f, y0, 0., 1.)
+    assert int(sol.error_code) != 0
+    ev_t, _ = sol.find_event(lambda t, y: y[0] - 0.5)
+    assert np.isnan(float(ev_t))

@@ -157,3 +157,22 @@ def test_event_at_start():
     event_t, sol = tde.odeint_event(f, jnp.array([0.0]), jnp.array(2.0),
                                     event_fn=event_fn)
     np.testing.assert_allclose(float(event_t), 2.0)
+
+
+def test_replay_flag_does_not_break_ift_on_adjoint_interface():
+    """replay_grad with an interface/method the replay path does NOT
+    handle must still apply the IFT event-time gradient reroute (the
+    early-return previously skipped it, silently zeroing grads)."""
+    f = lambda t, y: -y
+
+    def event_time(y0_):
+        ev_t, _ = tde.odeint_event(
+            f, y0_, jnp.asarray(0.0), event_fn=lambda t, y: y[0] - 0.5,
+            odeint_interface=tde.odeint_adjoint,
+            options=dict(replay_grad=True))
+        return ev_t
+
+    y0 = jnp.array([1.0])
+    g = jax.grad(event_time)(y0)
+    # t* = ln(y0 / 0.5) => dt*/dy0 = 1/y0 = 1
+    np.testing.assert_allclose(float(g[0]), 1.0, rtol=1e-5)

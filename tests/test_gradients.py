@@ -323,3 +323,20 @@ def test_adjoint_max_num_steps_is_per_interval():
     g = np.asarray(jax.grad(loss)(y0))
     assert np.isfinite(g).all()
     np.testing.assert_allclose(g[0], np.exp(-2.), rtol=1e-5)
+
+
+def test_adjoint_max_num_steps_budget_no_overflow():
+    """A generous per-interval budget times many output intervals must not
+    overflow int32 at trace time (the fused backward clamps the scaled
+    whole-span budget)."""
+    f = lambda t, y: -y
+    t = jnp.linspace(0., 1., 3000)
+    y0 = jnp.array([1.0])
+
+    def loss(y0_):
+        ys = tde.odeint_adjoint(f, y0_, t,
+                                adjoint_options=dict(max_num_steps=10**6))
+        return jnp.sum(ys[-1])
+
+    g = np.asarray(jax.grad(loss)(y0))
+    np.testing.assert_allclose(g[0], np.exp(-1.), rtol=1e-5)

@@ -371,3 +371,17 @@ def test_per_sample_event_other_method():
     np.testing.assert_allclose(np.asarray(et), np.sqrt(2 * pos0 / g),
                                atol=1e-5)
     assert int(np.asarray(st.error_code).max()) == 0
+
+
+def test_per_sample_event_bad_t_shape_raises():
+    """The kernel event path enforces the same t-shape contract as the
+    vmap fallback instead of silently ignoring the horizon grid."""
+    from torchdiffeq_tpu.parallel import odeint_per_sample_with_stats
+
+    B = 8
+    y0 = jnp.ones((B, 2), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, 50, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="shape"):
+        odeint_per_sample_with_stats(
+            lambda tt, yy: -yy, y0, t, event_fn=lambda tt, yy: yy[0] - 0.5,
+            options=dict(pallas=True, interpret=True))

@@ -260,7 +260,8 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
             # interval spanning T-1 of them, so scale the budget to keep a
             # user-set value sufficient.
             if 'max_num_steps' in opts:
-                opts['max_num_steps'] = int(opts['max_num_steps']) * (T - 1)
+                opts['max_num_steps'] = min(
+                    int(opts['max_num_steps']) * (T - 1), 2 ** 31 - 1)
             sol, _ = _raw_odeint(aug_dyn, aug0f,
                                  jnp.stack([t_int[-1], t_int[0]]),
                                  adjoint_rtol, adjoint_atol, adjoint_method,

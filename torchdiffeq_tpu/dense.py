@@ -106,7 +106,7 @@ class DenseSolution:
         Returns ``(event_t, y_event)``; `event_t` is NaN when the event
         function does not change sign on the integrated span.
         """
-        from .events import find_event as _bisect
+        from .events import combine_event_functions, find_event as _bisect
 
         n = jnp.arange(self.times.shape[0])
         # clamp the inf-filled padding boundaries to t0 so the user event
@@ -114,12 +114,10 @@ class DenseSolution:
         times = jnp.where(n <= self.count, self.times, self.times[0])
         user_t = self.t_sign * times             # user-facing times
 
-        # multi-output event functions: sign-combine per the odeint_event
-        # contract (initially positive, min over outputs; events.py:46-56)
-        ev_raw = lambda tu: jnp.atleast_1d(event_fn(tu, self._eval_scalar(tu)))
-        sign0_vec = jax.lax.stop_gradient(jnp.sign(ev_raw(user_t[0])))
-        combined = lambda tu, yu: jnp.min(
-            jnp.atleast_1d(event_fn(tu, yu)) * sign0_vec)
+        # multi-output event functions: the odeint_event sign-combination
+        # (initially positive, min over outputs; events.py:46-56)
+        combined = combine_event_functions(event_fn, user_t[0],
+                                           self._eval_scalar(user_t[0]))
 
         vals = jax.vmap(lambda tu: combined(tu, self._eval_scalar(tu)))(user_t)
         changed = (jnp.sign(vals) != 1.0) & (n <= self.count)
@@ -127,8 +125,11 @@ class DenseSolution:
         found = changed[j]
         j = jnp.maximum(j, 1)
 
-        t_lo_u = self.t_sign * self.times[j - 1]
-        t_hi_u = self.t_sign * self.times[j]
+        # bracket with the CLAMPED times: on a not-found/zero-segment
+        # solve the padding is t0, giving a [t0, t0] bracket (0 bisection
+        # iterations) instead of an infinite span
+        t_lo_u = self.t_sign * times[j - 1]
+        t_hi_u = self.t_sign * times[j]
         # bisect in user time; the interpolant handles the sign internally
         event_t, _ = _bisect(self._eval_scalar, jnp.asarray(1.0),
                              t_lo_u, t_hi_u, combined, tol)

@@ -156,9 +156,15 @@ def odeint_event(func, y0, t0, *, event_fn, reverse_time=False,
     # return a differentiable event time and state — exact discrete
     # gradients from solvers/replay.py — so the IFT reroute (which would
     # stop-gradient them and substitute the continuous-solution IFT
-    # estimate) must not be applied.
+    # estimate) must not be applied.  Only skip it when the replay path
+    # actually RAN: it requires an adaptive method AND the plain odeint
+    # interface (odeint.py dispatches replay before the adjoint wrapper);
+    # otherwise the IFT reroute below is still the event-time gradient.
     if bool((kwargs.get('options') or {}).get('replay_grad')):
-        return event_t, solution
+        method = kwargs.get('method')
+        kind = SOLVERS.get(method or 'dopri5', {}).get('kind')
+        if kind == 'adaptive' and odeint_interface is odeint:
+            return event_t, solution
 
     # Flatten for the IFT computation, mirroring the reference's re-run of
     # _check_inputs (odeint.py:171).

@@ -226,6 +226,14 @@ def odeint_per_sample_with_stats(func, y0, t, args=(), args_axes=None,
         lane_flags = tuple(a == -1 for a in axes)
         kmethod = method or 'dopri5'
         if event_fn is not None:
+            # event solves take t of shape (2,) = (t0, direction sentinel)
+            # exactly like odeint(event_fn=...); enforce it here so the
+            # kernel path cannot silently accept a t the vmap fallback
+            # would reject
+            if t_np.shape[0] != 2:
+                raise ValueError(
+                    "per-sample event solves require t of shape (2,) "
+                    f"(t0 and a horizon/direction point), got {t_np.shape}")
             return _pallas_per_sample_event(func, y0, float(t_np[0]),
                                             event_fn, rtol, atol, kmethod,
                                             options, args, lane_flags)

@@ -112,8 +112,8 @@ def odeint_parareal_with_info(func, y0, t, *, rtol=1e-7, atol=1e-9,
         n_shards = mesh.shape[axis]
         if S % n_shards != 0:
             raise ValueError(
-                f"T-1={S} time slices must divide the mesh axis "
-                f"'{axis}' ({n_shards})")
+                f"the mesh axis '{axis}' size ({n_shards}) must divide "
+                f"the T-1={S} time slices")
 
         # Each device group fine-solves its own contiguous block of
         # slices with an independent adaptive controller (check_vma=False:
@@ -127,34 +127,39 @@ def odeint_parareal_with_info(func, y0, t, *, rtol=1e-7, atol=1e-9,
     else:
         fine_all = jax.vmap(fine)
 
-    coarse_all = jax.vmap(coarse)
-
     # --- init: sequential coarse sweep -------------------------------------
+    # The scan's outputs serve double duty: U_tail[i] = coarse(t0s[i],
+    # t1s[i], U[i]) is both the next iterate entry AND the G value the
+    # first Parareal iteration needs — so no re-running the coarse sweep.
     def init_body(u, ts01):
         u1 = coarse(ts01[0], ts01[1], u)
         return u1, u1
 
     _, U_tail = jax.lax.scan(init_body, y0_flat, jnp.stack([t0s, t1s], 1))
     U = jnp.concatenate([y0_flat[None], U_tail])  # (T, n)
+    G = U_tail                                    # coarse over U[:-1]
 
     # --- parareal iterations ------------------------------------------------
-    def iteration(U, _):
+    # Each correction scan also emits its g_new values, which are exactly
+    # coarse(t0s, t1s, U_new[:-1]) — the next iteration's G — so the
+    # coarse propagator runs once per slice per iteration, not twice.
+    def iteration(carry, _):
+        U, G_old = carry
         F_vals = fine_all(t0s, t1s, U[:-1])      # parallel in time
-        G_old = coarse_all(t0s, t1s, U[:-1])     # parallel (same inputs)
 
         def corr_body(u, inp):
             Fv, Gv_old, tt0, tt1 = inp
             g_new = coarse(tt0, tt1, u)
             u1 = g_new + (Fv - Gv_old)
-            return u1, u1
+            return u1, (u1, g_new)
 
-        _, U_tail = jax.lax.scan(corr_body, y0_flat,
-                                 (F_vals, G_old, t0s, t1s))
+        _, (U_tail, G_new) = jax.lax.scan(corr_body, y0_flat,
+                                          (F_vals, G_old, t0s, t1s))
         U_new = jnp.concatenate([y0_flat[None], U_tail])
         delta = jnp.max(jnp.abs(U_new - U))
-        return U_new, delta
+        return (U_new, G_new), delta
 
-    U, deltas = jax.lax.scan(iteration, U, None, length=n_iters)
+    (U, _), deltas = jax.lax.scan(iteration, (U, G), None, length=n_iters)
 
     ys = jax.vmap(unravel)(U)
     return ys, deltas

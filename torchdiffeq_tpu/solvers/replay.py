@@ -234,7 +234,13 @@ def integrate_replay(func, y0, ts, cfg: AdaptiveConfig, max_segments=None):
 
     `max_segments=None` auto-sizes the capacity: a probe recording with the
     concrete inputs (re-used directly — no duplicate work), falling back to
-    a fixed default when the solve is traced inside an outer `jit`."""
+    a fixed default when the solve is traced inside an outer `jit`.
+
+    Cost note: the probe cannot reuse jax's jit cache across EAGER calls
+    (the recording closure bakes in `func`/`cfg`), so an eager loop of
+    auto-sized replay solves retraces the recording program every call.
+    Inside `jit` the fallback capacity applies (no probe); for eager
+    loops pass `max_segments` explicitly to skip the probe entirely."""
     func_sg = _tangent_free(func)
     sg = jax.lax.stop_gradient
     t_dtype = jnp.asarray(ts).dtype
