@@ -340,3 +340,18 @@ def test_adjoint_max_num_steps_budget_no_overflow():
 
     g = np.asarray(jax.grad(loss)(y0))
     np.testing.assert_allclose(g[0], np.exp(-1.), rtol=1e-5)
+
+
+def test_vmap_of_grad_fused_adjoint():
+    """vmap(grad(...)) over the fused single-sweep adjoint: per-sample
+    controllers in both the forward and the fused backward while_loop."""
+    f = lambda t, y: -y
+    t = jnp.linspace(0., 2., 6)
+    y0s = jnp.linspace(0.5, 2.0, 8)[:, None]       # (8, 1)
+
+    def loss(y0_):
+        return jnp.sum(tde.odeint_adjoint(f, y0_, t))
+
+    gs = jax.vmap(jax.grad(loss))(y0s)
+    exact = np.sum(np.exp(-np.asarray(t)))          # d/dy0 sum_i y0 e^{-t_i}
+    np.testing.assert_allclose(np.asarray(gs[:, 0]), exact, rtol=1e-5)
