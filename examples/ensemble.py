@@ -70,8 +70,10 @@ print(f"per-sample adaptivity: steps min {steps.min()} / median "
 assert err < 1e-2
 
 # ---- per-lane event solve: first zero crossing of x ----------------------
+# event solves take t = (t0, horizon/direction point), like odeint_event
+t_event = jnp.array([0.0, 2.0], jnp.float32)
 (ev_t, y_ev), st_e = odeint_per_sample_with_stats(
-    field, y0, t, event_fn=lambda tt, yy: yy[0],
+    field, y0, t_event, event_fn=lambda tt, yy: yy[0],
     options=dict(pallas=True, interpret=interpret), **common)
 # lightly damped: first crossing near pi/(2 omega)
 approx = np.pi / 2 / np.asarray(omega)
