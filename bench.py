@@ -270,7 +270,32 @@ def bench_torch(shared):
                 loss=float(loss))
 
 
+def _probe_default_backend():
+    """The axon TPU tunnel occasionally drops (runtime FAILED_PRECONDITION
+    on every op while the device still enumerates).  Probe in a SUBPROCESS
+    — platform pinning only takes effect before this process's backends
+    initialise — and on failure pin the parent to CPU before its first jax
+    op, so the bench still produces an artifact (its `backend` field
+    records the fallback)."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c',
+             'import jax, jax.numpy as jnp; '
+             'jax.block_until_ready(jax.jit(lambda x: x + 1)(jnp.ones(8)))'],
+            capture_output=True, timeout=300)
+        healthy = r.returncode == 0
+    except Exception:
+        healthy = False
+    if not healthy:
+        sys.stderr.write("default backend unhealthy; pinning CPU for this "
+                         "bench run\n")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
+    _probe_default_backend()
     shared = make_shared_init()
     jax_res = bench_jax(shared)
     try:
