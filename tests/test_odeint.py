@@ -275,3 +275,21 @@ def test_pid_controller():
         f, y0, t_points, options=dict(controller='pid', dcoeff=0.0))
     assert int(s_pid0.n_steps) == int(s_pi.n_steps)
     assert int(s_pid0.n_rejected) == int(s_pi.n_rejected)
+
+
+def test_implicit_nonconvergence_error_code():
+    """A stage solve that exhausts max_iters surfaces error_code=4
+    (the reference warns and continues, rk_common.py:461-462; values
+    still match, the signal is machine-checkable here)."""
+    f = lambda t, y: -1e4 * (y - jnp.cos(10 * t))
+    ys, st = tde.odeint_with_stats(
+        f, jnp.array([0.0]), jnp.linspace(0., 1., 2),
+        method='implicit_midpoint', options=dict(num_steps=2, max_iters=1))
+    assert int(st.error_code) == 4
+    with pytest.raises(RuntimeError, match="did not converge"):
+        st.raise_if_error()
+
+    _, st_ok = tde.odeint_with_stats(
+        f, jnp.array([0.0]), jnp.linspace(0., 1., 2),
+        method='implicit_euler', options=dict(num_steps=200))
+    assert int(st_ok.error_code) == 0

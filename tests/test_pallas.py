@@ -385,3 +385,22 @@ def test_per_sample_event_bad_t_shape_raises():
         odeint_per_sample_with_stats(
             lambda tt, yy: -yy, y0, t, event_fn=lambda tt, yy: yy[0] - 0.5,
             options=dict(pallas=True, interpret=True))
+
+
+def test_kernel_nan_poisons_unreached_outputs():
+    """Lanes that exhaust max_steps before reaching an output time return
+    NaN rows (the host driver convention), not silent zeros."""
+    from torchdiffeq_tpu.ops.pallas_kernels import dopri5_integrate_batched
+
+    B = 128
+    # half the lanes are 1000x stiffer and cannot finish in 8 steps
+    lam = jnp.concatenate([jnp.full((B // 2,), 1.0),
+                           jnp.full((B // 2,), 1000.0)]).astype(jnp.float32)
+    field = lambda tv, yv, l: -l[None, :] * yv
+    y0 = jnp.ones((1, B), jnp.float32)
+    ys, acc, stp = dopri5_integrate_batched(
+        field, y0, 0.0, 1.0, rtol=1e-6, atol=1e-8, params=(lam,),
+        max_steps=8, interpret=True)
+    vals = np.asarray(ys[0])
+    assert np.isfinite(vals[: B // 2]).all()          # easy lanes finished
+    assert np.isnan(vals[B // 2:]).all()              # stiff lanes poisoned

@@ -503,9 +503,15 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
         carry = (t_v, dt_v, y_init, f0, acc0, acc0, tuple(out0))
         t_v, dt_v, y, fc, acc, stp, out = jax.lax.while_loop(cond, body,
                                                              carry)
+        # NaN-poison output rows a lane never reached (max_steps exhausted
+        # before its time passed t_s) — the host driver's convention
+        # (adaptive_rk.integrate NaN-poisons the unwritten tail); a silent
+        # 0.0 is indistinguishable from a genuine zero state.
         for s in range(S):
-            row = out[s][:D] if pad_rows else out[s]
-            y_out[s] = row
+            t_s = emit_ts[s]
+            reached = (t_v[:1] >= t_s) | ((t_start + zero_like[:1]) >= t_s)
+            row = jnp.where(reached, out[s], jnp.nan)
+            y_out[s] = row[:D] if pad_rows else row
         acc_out[:] = acc[:1].astype(jnp.int32)
         steps_out[:] = stp[:1].astype(jnp.int32)
 

@@ -52,41 +52,35 @@ def _solve_tol(dtype):
 
 
 def _newton(res_fn, x0, tol, max_iters):
-    """Newton with exact jacfwd Jacobian and a non-finite bailout.
-    Returns (x, converged)."""
-    f0 = res_fn(x0)
-
-    def cond(c):
-        x, f, it, bailed = c
-        return (jnp.linalg.norm(f, 2) >= tol) & (~bailed) & (it < max_iters)
-
-    def body(c):
-        x, f, it, bailed = c
-        J = jax.jacfwd(res_fn)(x)
-        s = -jnp.linalg.solve(J, f)
-        bail = ~jnp.all(jnp.isfinite(s))
-        s = jnp.where(bail, jnp.zeros_like(s), s)
-        x_new = x + s
-        f_new = res_fn(x_new)
-        x = jnp.where(bail, x, x_new)
-        f = jnp.where(bail, f, f_new)
-        return (x, f, it + 1, bailed | bail)
-
-    x, f, _, _ = jax.lax.while_loop(
-        cond, body, (x0, f0, jnp.int32(0), jnp.asarray(False)))
+    """Newton with exact jacfwd Jacobian and a non-finite bailout —
+    delegates to the fixed-grid implicit tier's kernel so the two stay in
+    lockstep.  Returns (x, converged-as-float)."""
+    from .fixed_grid_implicit import _newton as _newton_aux
+    x, conv = _newton_aux(lambda xx, aux: res_fn(xx), x0, None, tol,
+                          max_iters)
     # convergence flag as a float: custom_root(has_aux=True) differentiates
     # the aux structurally, and bool primals reject the junk tangent
-    conv = (jnp.linalg.norm(f, 2) < tol).astype(x.real.dtype)
-    return x, jax.lax.stop_gradient(conv)
+    return x, jax.lax.stop_gradient(conv.astype(x.real.dtype))
 
 
 def _stage_root(func, ti, base, dt_gamma, k_guess, tol, max_iters, perturb):
     """Solve k = f(ti, base + dt_gamma*k); IFT-differentiable both modes.
 
-    Returns (k, converged)."""
+    Complex state solves on the stacked real view (jacfwd — Newton's
+    Jacobian and custom_root's tangent materialisation — requires real
+    inputs; packing with real/imag outside custom_root keeps JAX's native
+    complex-autodiff conventions).  Returns (k, converged)."""
+    complex_state = jnp.iscomplexobj(k_guess)
+    if complex_state:
+        m = k_guess.shape[0]
+        pack = lambda z: jnp.concatenate([jnp.real(z), jnp.imag(z)])
+        unpack = lambda xr: (xr[:m] + 1j * xr[m:]).astype(k_guess.dtype)
+    else:
+        pack = unpack = lambda v: v
 
-    def residual(kk):
-        return kk - func(ti, base + dt_gamma * kk, perturb=perturb)
+    def residual(kr):
+        kk = unpack(kr)
+        return pack(kk - func(ti, base + dt_gamma * kk, perturb=perturb))
 
     def solve(res_fn, x0):
         return _newton(res_fn, x0, tol, max_iters)
@@ -99,8 +93,9 @@ def _stage_root(func, ti, base, dt_gamma, k_guess, tol, max_iters, perturb):
         J = jax.jacfwd(g)(jnp.zeros_like(y))
         return jnp.linalg.solve(J, y)
 
-    return jax.lax.custom_root(residual, k_guess, solve, tangent_solve,
-                               has_aux=True)
+    kr, conv = jax.lax.custom_root(residual, pack(k_guess), solve,
+                                   tangent_solve, has_aux=True)
+    return unpack(kr), conv
 
 
 def make_esdirk_step_fn(stage_tol=None, max_iters=100):

@@ -31,11 +31,14 @@ class FixedStepMethod(NamedTuple):
 
     step(func, t0, dt, t1, y0, perturb, state) -> (dy, f0, new_state)
     init_state(func, y0, t0) -> state pytree
+    error_from_state(final_state) -> int32 error code (optional; lets a
+    stepper surface e.g. implicit-stage non-convergence through Stats)
     """
     step: Callable
     order: int
     nfe_per_step: int
     init_state: Callable = lambda func, y0, t0: ()
+    error_from_state: Callable = None
 
 
 def _stateless(fn):
@@ -173,7 +176,8 @@ def integrate_fixed_grid(method: FixedStepMethod, func, y0, ts, grid, *,
 
     pairs = jnp.stack([grid[:-1], grid[1:]], axis=1)
     body = jax.checkpoint(scan_body) if remat else scan_body
-    _, (ys_tail, f0s, f1s) = jax.lax.scan(body, (y0, state0), pairs)
+    (_, state_last), (ys_tail, f0s, f1s) = jax.lax.scan(
+        body, (y0, state0), pairs)
     ys_grid = jnp.concatenate([y0[None], ys_tail], axis=0)  # (G, n)
 
     # Vectorised emission: t_j lives in grid interval [grid[i1-1], grid[i1]]
@@ -190,7 +194,10 @@ def integrate_fixed_grid(method: FixedStepMethod, func, y0, ts, grid, *,
 
     n_steps = G - 1
     nfe = n_steps * method.nfe_per_step + (n_steps if cubic else 0)
-    stats = Stats.make(nfe=nfe, n_steps=n_steps, n_accepted=n_steps)
+    err = (method.error_from_state(state_last)
+           if method.error_from_state is not None else OK)
+    stats = Stats.make(nfe=nfe, n_steps=n_steps, n_accepted=n_steps,
+                       error_code=err)
     return ys, stats
 
 

@@ -26,9 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..misc import Perturb, nextafter_down
+from ..misc import Perturb, nextafter_down, real_dtype
 from ..ops.rk_step import weighted_sum
 from .fixed_grid import (FixedStepMethod, construct_grid, integrate_fixed_grid)
+from .solution import OK, ERR_IMPLICIT_NO_CONVERGENCE
 
 
 def _solve_tol(dtype):
@@ -96,21 +97,46 @@ def _newton(residual, x0, aux, tol, max_iters):
     return x, jnp.linalg.norm(f, 2) < tol
 
 
-def _make_root_solver(residual, tol, max_iters, root_solver='broyden'):
-    """Root solve with IFT gradients (see module docstring)."""
+def _make_root_solver(residual, tol, max_iters, root_solver='broyden',
+                      complex_state=False):
+    """Root solve with IFT gradients (see module docstring).  Returns a
+    callable ``(x0, aux) -> (x, converged)``.
+
+    complex_state=True solves on the stacked real view ``[Re x, Im x]``
+    (packing/unpacking with `jnp.real`/`imag` OUTSIDE the custom_vjp, so
+    JAX's native complex-autodiff conventions apply): `jacfwd` (Newton and
+    the IFT backward) requires real inputs, and Broyden's rank-1 update
+    uses the real inner product — both are exactly right on the real view.
+    """
+    if complex_state:
+        def residual_r(xr, aux):
+            m = xr.shape[0] // 2
+            f = residual(xr[:m] + 1j * xr[m:], aux)
+            return jnp.concatenate([jnp.real(f), jnp.imag(f)])
+
+        inner = _make_root_solver(residual_r, tol, max_iters, root_solver)
+
+        def solve_complex(x0, aux):
+            xr0 = jnp.concatenate([jnp.real(x0), jnp.imag(x0)])
+            xr, conv = inner(xr0, aux)
+            m = x0.shape[0]
+            return (xr[:m] + 1j * xr[m:]).astype(x0.dtype), conv
+
+        return solve_complex
+
     rootfind = _newton if root_solver == 'newton' else _broyden
 
     @jax.custom_vjp
     def solve_root(x0, aux):
-        x, _ = rootfind(residual, x0, aux, tol, max_iters)
-        return x
+        return rootfind(residual, x0, aux, tol, max_iters)
 
     def fwd(x0, aux):
-        x = solve_root(x0, aux)
-        return x, (x, aux)
+        x, conv = solve_root(x0, aux)
+        return (x, conv), (x, aux)
 
-    def bwd(res, g):
+    def bwd(res, gs):
         x, aux = res
+        g, _ = gs      # the converged flag gets no cotangent
         J = jax.jacfwd(residual, argnums=0)(x, aux)  # (m, m), exact at x*
         lam = jnp.linalg.solve(J.T, g)
         _, pullback = jax.vjp(lambda a: residual(x, a), aux)
@@ -125,7 +151,7 @@ def _convert_func(prob):
     """closure_convert the (unperturbed) flat vector field so its captured
     parameters become explicit, differentiable inputs."""
     base = lambda tt, yy: prob.func(tt, yy, perturb=Perturb.NONE)
-    t_ex = jnp.zeros((), dtype=prob.y0.dtype)
+    t_ex = jnp.zeros((), dtype=real_dtype(prob.y0.dtype))
     conv, consts = jax.closure_convert(base, t_ex, prob.y0)
     return conv, tuple(consts)
 
@@ -160,6 +186,7 @@ def make_fixed_step_method(prob, tableau, sequential):
     max_iters = opts.get('max_iters', 100)
     root_solver = opts.get('root_solver', 'broyden')
     conv, consts = _convert_func(prob)
+    is_complex = jnp.issubdtype(prob.y0.dtype, jnp.complexfloating)
     n = prob.y0.shape[0]
     s = tableau.n_stages
     beta = np.asarray(tableau.beta)
@@ -187,17 +214,21 @@ def make_fixed_step_method(prob, tableau, sequential):
                 res.append(K[i] - eval_f(ti, yi, theta))
             return jnp.concatenate(res)
 
-        solver = _make_root_solver(residual, tol, max_iters, root_solver)
+        solver = _make_root_solver(residual, tol, max_iters, root_solver,
+                                   complex_state=is_complex)
 
         def step(func, t0, dt, t1, y0, perturb, state):
             f0 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
-            yd = y0.dtype
-            t0c, dtc, t1c = (jnp.asarray(v).astype(yd) for v in (t0, dt, t1))
+            # time stays in the REAL dtype (complex state support; the
+            # reference keeps float64 timelike, rk_common.py:180-195)
+            td = real_dtype(y0.dtype)
+            t0c, dtc, t1c = (jnp.asarray(v).astype(td) for v in (t0, dt, t1))
             aux = (y0, t0c, dtc, t1c, consts)
             K0 = jnp.tile(f0, (s,))
-            K = solver(K0, aux).reshape(s, n)
+            K_flat, conv = solver(K0, aux)
+            K = K_flat.reshape(s, n)
             dy = weighted_sum(tableau.c_sol, list(K), dtc)
-            return dy, f0, state
+            return dy, f0, state & conv
 
     else:
         # DIRK: per-stage n-dim solves; earlier stages enter via aux.
@@ -218,13 +249,17 @@ def make_fixed_step_method(prob, tableau, sequential):
                     ti = t0 + a * dt
                 return k_flat - eval_f(ti, yi, theta)
 
-            stage_solvers.append(_make_root_solver(residual_i, tol, max_iters, root_solver))
+            stage_solvers.append(
+                _make_root_solver(residual_i, tol, max_iters, root_solver,
+                                  complex_state=is_complex))
 
         def step(func, t0, dt, t1, y0, perturb, state):
             f0 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
             yd = y0.dtype
-            t0c, dtc, t1c = (jnp.asarray(v).astype(yd) for v in (t0, dt, t1))
+            td = real_dtype(yd)     # see FIRK branch
+            t0c, dtc, t1c = (jnp.asarray(v).astype(td) for v in (t0, dt, t1))
             K = []
+            conv_all = state
             for i in range(s):
                 if stage_solvers[i] is None:
                     K.append(f0)
@@ -232,14 +267,24 @@ def make_fixed_step_method(prob, tableau, sequential):
                 K_prev = (jnp.stack(K) if K
                           else jnp.zeros((0, n), dtype=yd))
                 aux = (y0, t0c, dtc, t1c, K_prev, consts)
-                K.append(stage_solvers[i](f0, aux))
+                ki, conv = stage_solvers[i](f0, aux)
+                conv_all = conv_all & conv
+                K.append(ki)
             dy = weighted_sum(tableau.c_sol, K, dtc)
-            return dy, f0, state
+            return dy, f0, conv_all
 
     # nfe bookkeeping for implicit stages is iteration-dependent; report the
     # single explicit f0 evaluation per step (stage-solve residual
     # evaluations are not user-visible NFE in the reference convention).
-    return FixedStepMethod(step, order=tableau.order, nfe_per_step=1)
+    # The stepper state carries an all-stages-converged flag; a failed
+    # Broyden/Newton solve surfaces as error_code=4 in Stats (the
+    # reference warns and continues with the unconverged iterate,
+    # rk_common.py:461-462 — values match, the signal is stronger here).
+    return FixedStepMethod(
+        step, order=tableau.order, nfe_per_step=1,
+        init_state=lambda func, y0, t0: jnp.asarray(True),
+        error_from_state=lambda st: jnp.where(
+            st, OK, ERR_IMPLICIT_NO_CONVERGENCE).astype(jnp.int32))
 
 
 def integrate_implicit(prob, tableau, sequential):

@@ -70,6 +70,17 @@ def record_segments(func, y0, ts, cfg: AdaptiveConfig, max_segments):
     t_dtype = ts.dtype
     n = y0.shape[0]
     t_end = ts[-1]
+    # match the main driver's time arithmetic (adaptive_rk.integrate):
+    # compensated double-word stepping on f32 time avoids the spurious
+    # dt-underflow/drifted boundaries the plain-f32 recording had
+    use_dw = bool(cfg.compensated_time) and t_dtype == jnp.float32
+    # max_num_steps is a PER-OUTPUT-INTERVAL budget in the main driver
+    # (steps_in_interval resets at each emission); the recording loop
+    # never emits, so scale the budget to the whole span
+    n_iv = max(int(ts.shape[0]) - 1, 1)
+    if cfg.max_num_steps < 2 ** 31 - 1:
+        cfg = cfg._replace(
+            max_num_steps=min(cfg.max_num_steps * n_iv, 2 ** 31 - 1))
 
     f0, dt0, nfe0 = _setup(func, y0, ts[0], cfg, t_dtype)
     times = jnp.full((max_segments + 1,), jnp.inf, dtype=t_dtype)
@@ -94,7 +105,8 @@ def record_segments(func, y0, ts, cfg: AdaptiveConfig, max_segments):
 
     def body(state):
         c, times = state
-        c2 = _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype)
+        c2 = _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype,
+                            use_dw=use_dw)
         accepted = c2.t1 != c.t1
         times = jnp.where(accepted, times.at[c2.n_acc].set(c2.t1), times)
         return (c2, times)
@@ -109,16 +121,12 @@ def record_segments(func, y0, ts, cfg: AdaptiveConfig, max_segments):
 
 
 def _interp_eval_many(coeff, t0, t1, ts):
-    """Evaluate the (5, n) interpolant at a vector of times with a
-    zero-width-interval guard (inactive replay segments have t1 == t0)."""
-    denom = jnp.where(t1 > t0, t1 - t0, jnp.ones_like(t1))
-    x = ((ts - t0) / denom).astype(coeff.dtype)   # (T,)
-    total = coeff[0][None] + x[:, None] * coeff[1][None]
-    x_power = x
-    for i in range(2, coeff.shape[0]):
-        x_power = x_power * x
-        total = total + x_power[:, None] * coeff[i][None]
-    return total  # (T, n)
+    """Evaluate the (5, n) interpolant at a vector of times (delegates to
+    the driver's evaluator so replay and main-path output interpolation
+    stay numerically identical; inactive replay segments have t1 == t0,
+    which its zero-width guard handles)."""
+    from .adaptive_rk import _interp_eval_vec
+    return _interp_eval_vec(coeff, t0, t1, ts)
 
 
 def _jump_reeval(func, f1, y1, t1, active, jump_t):
@@ -283,6 +291,8 @@ def record_segments_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig,
     t0 = jnp.asarray(t0)
     t_dtype = t0.dtype
     n = y0.shape[0]
+    # dw-matched stepping, as in record_segments
+    use_dw = bool(cfg.compensated_time) and t_dtype == jnp.float32
 
     f0, dt0, nfe0 = _setup(func, y0, t0, cfg, t_dtype)
     step_t, step_idx, jump_t, jump_idx = _prep_cfg_tvals(cfg, t0, t_dtype)
@@ -313,7 +323,8 @@ def record_segments_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig,
 
     def body(state):
         c, times = state
-        c2 = _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype)
+        c2 = _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype,
+                            use_dw=use_dw)
         accepted = c2.t1 != c.t1
         times = jnp.where(accepted, times.at[c2.n_acc].set(c2.t1), times)
         return (c2, times)

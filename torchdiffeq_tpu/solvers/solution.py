@@ -26,6 +26,8 @@ ERROR_MESSAGES = {
     ERR_NONFINITE_STATE: "non-finite values in state `y`",
     ERR_MAX_NUM_STEPS: "max_num_steps exceeded",
     ERR_IMPLICIT_NO_CONVERGENCE: "implicit solve did not converge",
+    ERR_SEGMENT_OVERFLOW: ("recording buffer exhausted — raise "
+                           "max_segments (replay/dense capacity)"),
 }
 
 
