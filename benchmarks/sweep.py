@@ -163,6 +163,12 @@ def main():
             dt = timeit(g, p3, n=5)
             # NFE: forward + backward, counted with a debug callback
             nfe = _count_nfe_train(f3, y0, t, rtol, atol, p3, tgt, adj_opts)
+        # NOTE: the count runs on the host CPU, where bf16 matmul precision
+        # has no effect — for the bfloat16 rows it is the FULL-PRECISION
+        # step count.  On-device bf16 noise can add accept/reject steps
+        # (minor at rtol=1e-3; dominant below ~1e-4, see bench.py), so the
+        # bf16 TFLOP/s / MFU figures are *useful-work* throughput, not
+        # total executed work.
         # aug backward: 1 fwd-eval + 1 VJP (~2x fwd flops) per NFE; approximate
         # total as 2x the per-eval matmul flops (fwd evals slightly over-counted)
         flops = nfe * B * 2 * (256 * 1024 * 2) * 2

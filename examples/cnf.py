@@ -19,6 +19,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# full-precision matmuls: the TPU default is bf16, which pollutes the
+# embedded error estimate below rtol ~ 1e-4 (~30x more steps; see FAQ)
+jax.config.update("jax_default_matmul_precision", "float32")
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import optax

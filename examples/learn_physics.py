@@ -1,12 +1,14 @@
 """Learning dynamics + events + instantaneous updates from trajectory data
 — JAX re-authoring of reference examples/learn_physics.py.
 
-A bouncing-ball system where the dynamics (gravity), the event function
-(ground height) and the instantaneous bounce update (restitution) are all
-*learned* from an observed trajectory.  As in the reference (:72-74), the
-learnable event parameters must live in the state so that gradients reach
-them through the IFT event-time reroute; the event function guards on a
-terminal time (:66-70); bounces are chained up to `max_events` (:83-123).
+A bouncing-ball system where the dynamics (gravity) and the instantaneous
+bounce update (restitution) are *learned* from an observed trajectory.
+Unlike the reference — which must carry learnable event parameters in the
+STATE so torch autograd reaches them (learn_physics.py:72-74) — here the
+parameters are ordinary closed-over values: `jax.closure_convert` routes
+exact gradients to them through the adjoint and the IFT event-time
+reroute.  The event function guards on a terminal time (:66-70); bounces
+are chained up to `max_events` (:83-123).
 
 Run:  python examples/learn_physics.py [--niters 200]
 """
@@ -50,37 +52,6 @@ def simulate_true(t_obs, max_events=6):
         m = t_obs >= ts
         out[m] = p + v * (t_obs[m] - ts) - 0.5 * g * (t_obs[m] - ts) ** 2
     return np.maximum(out, 0.0)
-
-
-def simulate_model(params, t_end, max_events):
-    """Event-chained solve with learned gravity/restitution.  Event params
-    ride in the state (reference learn_physics.py:72-74)."""
-    gravity = jnp.exp(params['log_gravity'])
-    restitution = jax.nn.sigmoid(params['logit_restitution'])
-
-    def dynamics(t, state):
-        pos, vel = state
-        return (vel, -gravity * jnp.ones_like(vel))
-
-    def event_fn(t, state):
-        pos, vel = state
-        # guard on terminal time (reference :66-70): force an "event" at
-        # t_end so each segment terminates.
-        return jnp.minimum(pos[0], t_end - t)
-
-    state = (jnp.array([2.0]), jnp.array([0.0]))
-    t = jnp.asarray(0.0)
-    times, states = [t], [state]
-    for _ in range(max_events):
-        event_t, sol = odeint_event(
-            dynamics, state, t, event_fn=event_fn,
-            odeint_interface=odeint_adjoint, rtol=1e-6, atol=1e-8)
-        pos, vel = (s[-1] for s in sol)
-        state = (pos + 1e-6, -restitution * vel)
-        t = event_t
-        times.append(event_t)
-        states.append((pos, vel))
-    return times, gravity, restitution
 
 
 def trajectory_loss(params, t_obs, y_obs, t_end, max_events):

@@ -87,8 +87,9 @@ def apply_conv(p, x, stride=1):
 
 
 def group_norm(x, groups=8, eps=1e-5):
+    import math
     n, h, w, c = x.shape
-    g = min(groups, c)
+    g = math.gcd(min(groups, c), c)   # largest divisor of c up to `groups`
     xg = x.reshape(n, h, w, g, c // g)
     mean = xg.mean(axis=(1, 2, 4), keepdims=True)
     var = xg.var(axis=(1, 2, 4), keepdims=True)

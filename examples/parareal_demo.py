@@ -9,7 +9,7 @@ this demonstrates the TPU-native time-axis parallelism in
 * the fine propagator (adaptive dopri5 at the requested tolerance) runs
   on every slice concurrently — on a multi-device mesh each device group
   advances its own slices with an independent adaptive controller;
-* a cheap sequential coarse sweep (2 rk4 steps per slice) stitches the
+* a cheap sequential coarse sweep (4 rk4 steps per slice) stitches the
   slices, converging geometrically: the script prints the per-iteration
   correction norm and the error against the sequential solve.
 
@@ -27,7 +27,7 @@ from torchdiffeq_tpu.parallel import (make_mesh, odeint_parareal_with_info)
 parser = argparse.ArgumentParser()
 parser.add_argument('--slices', type=int, default=16)
 parser.add_argument('--iters', type=int, default=5)
-parser.add_argument('--rtol', type=float, default=1e-8)
+parser.add_argument('--rtol', type=float, default=1e-6)
 parser.add_argument('--mesh', action='store_true',
                     help='shard the slice axis over all visible devices')
 args = parser.parse_args()
@@ -48,6 +48,8 @@ if args.mesh:
     if args.slices % n_dev == 0 and n_dev > 1:
         mesh = make_mesh({'time': n_dev})
         print(f"sharding {args.slices} slices over {n_dev} devices")
+    elif n_dev == 1:
+        print("--mesh ignored: only one device visible")
     else:
         print(f"--mesh ignored: {args.slices} slices not divisible by "
               f"{n_dev} device(s)")
