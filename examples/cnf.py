@@ -24,7 +24,6 @@ import jax
 # embedded error estimate below rtol ~ 1e-4 (~30x more steps; see FAQ)
 jax.config.update("jax_default_matmul_precision", "float32")
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import optax

@@ -87,9 +87,9 @@ def apply_conv(p, x, stride=1):
 
 
 def group_norm(x, groups=8, eps=1e-5):
-    import math
     n, h, w, c = x.shape
-    g = math.gcd(min(groups, c), c)   # largest divisor of c up to `groups`
+    # largest divisor of c that is <= groups
+    g = max(d for d in range(1, min(groups, c) + 1) if c % d == 0)
     xg = x.reshape(n, h, w, g, c // g)
     mean = xg.mean(axis=(1, 2, 4), keepdims=True)
     var = xg.var(axis=(1, 2, 4), keepdims=True)

@@ -508,8 +508,9 @@ def dopri5_integrate_batched(field, y0, t0, t1, *, ts=None, rtol=1e-4,
         # (adaptive_rk.integrate NaN-poisons the unwritten tail); a silent
         # 0.0 is indistinguishable from a genuine zero state.
         for s in range(S):
-            t_s = emit_ts[s]
-            reached = (t_v[:1] >= t_s) | ((t_start + zero_like[:1]) >= t_s)
+            # t_v starts at t_start and only increases, so this also
+            # covers outputs at/before the start time
+            reached = t_v[:1] >= emit_ts[s]
             row = jnp.where(reached, out[s], jnp.nan)
             y_out[s] = row[:D] if pad_rows else row
         acc_out[:] = acc[:1].astype(jnp.int32)

@@ -107,7 +107,11 @@ def record_segments(func, y0, ts, cfg: AdaptiveConfig, max_segments):
         c, times = state
         c2 = _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype,
                             use_dw=use_dw)
-        accepted = c2.t1 != c.t1
+        # acceptance via the counter, NOT the hi time word: under dw
+        # stepping an accepted sub-ULP step can advance only t1_lo,
+        # and a t1-based test would skip the times write (an inf hole
+        # mid-buffer that silently corrupts the replay)
+        accepted = c2.n_acc != c.n_acc
         times = jnp.where(accepted, times.at[c2.n_acc].set(c2.t1), times)
         return (c2, times)
 
@@ -325,7 +329,11 @@ def record_segments_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig,
         c, times = state
         c2 = _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype,
                             use_dw=use_dw)
-        accepted = c2.t1 != c.t1
+        # acceptance via the counter, NOT the hi time word: under dw
+        # stepping an accepted sub-ULP step can advance only t1_lo,
+        # and a t1-based test would skip the times write (an inf hole
+        # mid-buffer that silently corrupts the replay)
+        accepted = c2.n_acc != c.n_acc
         times = jnp.where(accepted, times.at[c2.n_acc].set(c2.t1), times)
         return (c2, times)
 
