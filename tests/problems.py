@@ -109,8 +109,9 @@ FIXED_METHODS = FIXED_EXPLICIT_METHODS + FIXED_IMPLICIT_METHODS
 ADAMS_METHODS = ('explicit_adams', 'implicit_adams')
 ADAPTIVE_EXPLICIT_METHODS = ('adaptive_heun', 'fehlberg2', 'bosh3', 'tsit5',
                              'dopri5', 'dopri8')
-# beyond the reference: adaptive implicit (stiff) ESDIRK tier
-ADAPTIVE_IMPLICIT_METHODS = ('kvaerno3', 'kvaerno5')
+# beyond the reference: adaptive implicit (stiff) tier — Kvaerno ESDIRK
+# and fully-coupled Radau IIA 5(3) collocation
+ADAPTIVE_IMPLICIT_METHODS = ('kvaerno3', 'kvaerno5', 'radau5a')
 ADAPTIVE_METHODS = ADAPTIVE_EXPLICIT_METHODS + ADAPTIVE_IMPLICIT_METHODS
 SCIPY_METHODS = ('scipy_solver',)
 IMPLICIT_METHODS = FIXED_IMPLICIT_METHODS

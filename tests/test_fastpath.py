@@ -1,0 +1,151 @@
+"""TPU fast-path options: `step_to_end` (interp-free endpoint stepping),
+`error_dtype` (mixed-precision error control), and the tree-native state
+representation (no ravel for the explicit adaptive tier)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchdiffeq_tpu as tde
+
+
+def _exp_err(ys, t):
+    return float(jnp.max(jnp.abs(ys[:, 0] - jnp.exp(-t))))
+
+
+@pytest.mark.parametrize('method', ['dopri5', 'tsit5', 'bosh3'])
+def test_step_to_end_accuracy(method):
+    f = lambda t, y: -y
+    t = jnp.linspace(0., 2., 7)
+    y0 = jnp.array([1.0, 2.0])
+    ys, st = tde.odeint_with_stats(f, y0, t, method=method,
+                                   options=dict(step_to_end=True))
+    assert int(st.error_code) == 0
+    assert _exp_err(ys, t) < 1e-6
+    # every output row is written (the emission path is equality-based)
+    assert bool(jnp.all(jnp.isfinite(ys)))
+    assert float(jnp.abs(ys[0, 0] - y0[0])) == 0.0
+
+
+def test_step_to_end_reverse_time():
+    f = lambda t, y: -y
+    t = jnp.linspace(2., 0., 5)
+    ys = tde.odeint(f, jnp.array([1.0]), t, options=dict(step_to_end=True))
+    err = float(jnp.max(jnp.abs(ys[:, 0] - jnp.exp(2. - t))))
+    assert err < 1e-5, err
+
+
+def test_step_to_end_tuple_state():
+    f = lambda t, y: (-y[0], {'a': -2.0 * y[1]['a']})
+    y0 = (jnp.array([1.0]), {'a': jnp.array([3.0])})
+    t = jnp.linspace(0., 1., 4)
+    ys = tde.odeint(f, y0, t, options=dict(step_to_end=True))
+    np.testing.assert_allclose(np.asarray(ys[0][:, 0]), np.exp(-np.asarray(t)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ys[1]['a'][:, 0]),
+                               3 * np.exp(-2 * np.asarray(t)), rtol=1e-6)
+
+
+def test_step_to_end_composes_with_step_t():
+    """User step_t boundaries merge with the forced output boundaries."""
+    f = lambda t, y: -y
+    t = jnp.linspace(0., 1., 3)
+    ys, st = tde.odeint_with_stats(
+        f, jnp.array([1.0]), t,
+        options=dict(step_to_end=True, step_t=jnp.array([0.123, 0.777])))
+    assert int(st.error_code) == 0
+    assert _exp_err(ys, t) < 1e-6
+
+
+def test_step_to_end_gradients():
+    f = lambda t, y: -y
+    t = jnp.linspace(0., 2., 3)
+
+    def loss(y0_):
+        return jnp.sum(tde.odeint(f, y0_, t,
+                                  options=dict(step_to_end=True))[-1])
+
+    g = float(jax.grad(loss)(jnp.array([1.0]))[0])
+    np.testing.assert_allclose(g, np.exp(-2), rtol=1e-6)
+
+
+def test_step_to_end_under_jit_traced_t():
+    f = lambda t, y: -y
+    t = jnp.linspace(0., 1., 4)
+    run = jax.jit(lambda y, tt: tde.odeint(f, y, tt,
+                                           options=dict(step_to_end=True)))
+    ys = run(jnp.array([1.0]), t)
+    assert _exp_err(ys, t) < 1e-6
+
+
+def test_error_dtype_reduces_bf16_churn():
+    """bfloat16 state: accumulating the embedded error (and its tolerance
+    ratio) in f32 removes the catastrophic-cancellation noise, so the
+    controller takes substantially fewer steps at the same tolerance."""
+    f = lambda t, y: -y
+    y0 = jnp.ones((4, 2), jnp.bfloat16)
+    t = jnp.linspace(0., 1., 3)
+    _, st_plain = tde.odeint_with_stats(f, y0, t, rtol=1e-5, atol=1e-7)
+    _, st_mixed = tde.odeint_with_stats(
+        f, y0, t, rtol=1e-5, atol=1e-7,
+        options=dict(error_dtype=jnp.float32))
+    assert int(st_mixed.error_code) == 0
+    assert int(st_mixed.n_steps) < int(st_plain.n_steps), \
+        (int(st_mixed.n_steps), int(st_plain.n_steps))
+
+
+def test_error_dtype_noop_on_f32():
+    """error_dtype=f32 on f32 state changes nothing (the casts are
+    identities): identical step counts and trajectories."""
+    f = lambda t, y: -y
+    y0 = jnp.array([1.0, 2.0], jnp.float32)
+    t = jnp.linspace(0., 2., 5, dtype=jnp.float32)
+    ys_a, st_a = tde.odeint_with_stats(f, y0, t, rtol=1e-6, atol=1e-8)
+    ys_b, st_b = tde.odeint_with_stats(
+        f, y0, t, rtol=1e-6, atol=1e-8,
+        options=dict(error_dtype=jnp.float32))
+    assert int(st_a.n_steps) == int(st_b.n_steps)
+    np.testing.assert_array_equal(np.asarray(ys_a), np.asarray(ys_b))
+
+
+def test_tree_state_native_shapes():
+    """The explicit adaptive tier keeps native leaf shapes end to end: the
+    vector field sees the user's (B, D) array / container directly (no
+    flat (n,) ravel), which is what preserves leaf shardings on a mesh."""
+    seen = []
+
+    def f(t, y):
+        seen.append(jnp.shape(y))
+        return -y
+
+    y0 = jnp.ones((8, 3))
+    t = jnp.linspace(0., 1., 3)
+    ys = tde.odeint(f, y0, t)
+    assert all(s == (8, 3) for s in seen), set(seen)
+    assert ys.shape == (3, 8, 3)
+
+    seen_tree = []
+
+    def ft(t, y):
+        seen_tree.append(jnp.shape(y['x']))
+        return {'x': -y['x']}
+
+    yst = tde.odeint(ft, {'x': jnp.ones((4, 2))}, t)
+    assert all(s == (4, 2) for s in seen_tree)
+    assert yst['x'].shape == (3, 4, 2)
+
+
+def test_raveled_paths_still_used_where_required():
+    """Implicit adaptive methods and replay mode keep the flat
+    representation (stage solves / recording buffers are linear-algebra on
+    vectors) — and still produce correct results on container state."""
+    f = lambda t, y: (-y[0],)
+    y0 = (jnp.array([1.0]),)
+    t = jnp.linspace(0., 1., 3)
+    ys = tde.odeint(f, y0, t, method='kvaerno3', rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ys[0][-1, 0]), np.exp(-1),
+                               rtol=1e-5)
+    ys_r = tde.odeint(f, y0, t, options=dict(replay_grad=True,
+                                             max_segments=128))
+    np.testing.assert_allclose(np.asarray(ys_r[0][-1, 0]), np.exp(-1),
+                               rtol=1e-6)

@@ -27,7 +27,7 @@ GRAD_METHODS = ('dopri5', 'dopri8', 'tsit5', 'bosh3', 'fehlberg2',
                 'heun3', 'explicit_adams', 'implicit_adams', 'fixed_adams',
                 'implicit_euler', 'implicit_midpoint', 'trapezoid', 'gl4',
                 'gl6', 'radauIIA3', 'radauIIA5', 'sdirk2', 'trbdf2',
-                'kvaerno3', 'kvaerno5')
+                'kvaerno3', 'kvaerno5', 'radau5a')
 
 
 def _fd_grad(fn, x, eps=1e-6):

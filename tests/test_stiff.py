@@ -11,7 +11,7 @@ import pytest
 
 import torchdiffeq_tpu as tde
 
-STIFF_METHODS = ('kvaerno3', 'kvaerno5')
+STIFF_METHODS = ('kvaerno3', 'kvaerno5', 'radau5a')
 
 
 @pytest.mark.parametrize('method', STIFF_METHODS)
@@ -25,7 +25,8 @@ def test_accuracy(method):
     assert int(st.error_code) == 0
 
 
-@pytest.mark.parametrize('method,order', [('kvaerno3', 3), ('kvaerno5', 5)])
+@pytest.mark.parametrize('method,order', [('kvaerno3', 3), ('kvaerno5', 5),
+                                          ('radau5a', 5)])
 def test_convergence_order(method, order):
     """Empirical order on pinned step sizes (min=max=first=h forces the
     controller to accept every step at exactly h)."""
@@ -118,12 +119,35 @@ def test_replay_gradients_and_jvp():
     np.testing.assert_allclose(float(tangent[0]), np.exp(-2), rtol=1e-4)
 
 
-def test_event_solve():
+@pytest.mark.parametrize('method', ['kvaerno3', 'radau5a'])
+def test_event_solve(method):
     f = lambda t, y: -y
     et, _ = tde.odeint_event(f, jnp.array([1.0]), jnp.array(0.0),
                              event_fn=lambda t, y: y[0] - 0.5,
-                             method='kvaerno3', rtol=1e-9, atol=1e-11)
+                             method=method, rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(float(et), np.log(2), rtol=1e-7)
+
+
+def test_radau5a_stiff_advantage_and_accuracy():
+    """Adaptive Radau IIA 5(3): L-stable 5th-order collocation under the
+    adaptive controller — the RADAU5 benchmark standard (Hairer & Wanner
+    IV.8).  On lambda=1e4 stiffness it needs ~100x fewer steps than
+    dopri5, whose step size is stability-limited."""
+    lam = 1e4
+    f = lambda t, y: -lam * (y - jnp.cos(t)) - jnp.sin(t)
+    t = jnp.linspace(0., 2., 3)
+    y0 = jnp.array([1.5])
+
+    ys, st = tde.odeint_with_stats(f, y0, t, method='radau5a',
+                                   rtol=1e-6, atol=1e-8)
+    assert int(st.error_code) == 0
+    _, st_exp = tde.odeint_with_stats(f, y0, t, method='dopri5',
+                                      rtol=1e-6, atol=1e-8)
+    assert int(st.n_steps) * 50 < int(st_exp.n_steps), \
+        (int(st.n_steps), int(st_exp.n_steps))
+
+    exact = np.cos(np.asarray(t)) + 0.5 * np.exp(-lam * np.asarray(t))
+    assert float(np.max(np.abs(np.asarray(ys[:, 0]) - exact))) < 1e-5
 
 
 def test_param_gradients_closure():

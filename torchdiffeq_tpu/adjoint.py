@@ -34,30 +34,42 @@ from jax.flatten_util import ravel_pytree
 
 from .misc import (check_inputs, flat_to_tree, rms_norm, mixed_norm,
                    time_sign, _is_single_array)
-from .solvers import SOLVERS
+from .ops.treemath import tmap, tindex, cast_time, state_dtype
+from .solvers import SOLVERS, tree_state_capable
 from .odeint import _solve_normalised, _solve_event_normalised
 
 
+def _to_time_dtype(x, t_dtype):
+    """Cast a time gradient to the (real) time dtype; for complex state the
+    accumulated vjps live in the complex state dtype and project onto their
+    real part (the value the former implicit complex->real astype kept)."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating) \
+            and not jnp.issubdtype(jnp.dtype(t_dtype), jnp.complexfloating):
+        x = x.real
+    return x.astype(t_dtype)
+
+
 def _raw_odeint(func, y0, t, rtol, atol, method, options, time_direction):
-    """Non-differentiable solve used inside the backward pass."""
+    """Non-differentiable solve used inside the backward pass.  Returns the
+    solution in the caller's (pytree) state structure regardless of whether
+    the driver ran raveled or tree-native."""
     prob = check_inputs(func, y0, t, rtol, atol, method, options, None,
-                        SOLVERS, time_direction=time_direction)
-    ys_flat, stats = _solve_normalised(prob)
-    return flat_to_tree(prob.unravel, ys_flat), stats
+                        SOLVERS, time_direction=time_direction,
+                        ravel_state=not tree_state_capable(method))
+    ys_n, stats = _solve_normalised(prob)
+    return flat_to_tree(prob.unravel, ys_n), stats
 
 
-def _make_adjoint_norm(adjoint_options, user_state_norm, single_array_state,
-                       unravel_y0):
+def _make_adjoint_norm(adjoint_options, user_state_norm, single_array_state):
     """Choose/wrap the norm for the augmented backward solve (reference
-    `handle_adjoint_norm_`, adjoint.py:243-288).  The augmented state tree is
-    ``(vjp_t, y_flat, adj_y_flat, theta_bar)``."""
+    `handle_adjoint_norm_`, adjoint.py:243-288).  The augmented state is the
+    pytree ``(vjp_t, y, adj_y, theta_bar)`` with y/adj_y in the user's own
+    state structure (native shapes — no ravel)."""
     if user_state_norm is None:
-        if single_array_state:
-            state_norm = rms_norm
-        else:
-            state_norm = lambda x: mixed_norm(unravel_y0(x))
+        state_norm = rms_norm if single_array_state else mixed_norm
     else:
-        state_norm = lambda x: user_state_norm(unravel_y0(x))
+        state_norm = user_state_norm
 
     def default_adjoint_norm(aug):
         vt, y, adj_y, th_bar = aug
@@ -89,9 +101,9 @@ def _make_adjoint_norm(adjoint_options, user_state_norm, single_array_state,
         vt, y, adj_y, th_bar = aug
         params = tuple(jax.tree_util.tree_leaves(th_bar))
         if single_array_state:
-            return user_adjoint_norm((vt, unravel_y0(y), unravel_y0(adj_y)) + params)
-        y_leaves = tuple(jax.tree_util.tree_leaves(unravel_y0(y)))
-        adj_leaves = tuple(jax.tree_util.tree_leaves(unravel_y0(adj_y)))
+            return user_adjoint_norm((vt, y, adj_y) + params)
+        y_leaves = tuple(jax.tree_util.tree_leaves(y))
+        adj_leaves = tuple(jax.tree_util.tree_leaves(adj_y))
         return user_adjoint_norm((vt,) + y_leaves + adj_leaves + params)
 
     return wrapped
@@ -154,30 +166,33 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
         if ev_conv is not None:
             ev = lambda tt, yy: ev_conv(tt, yy, *theta_[2])
         return check_inputs(pure_func, y0_, t_, rtol, atol, method, options,
-                            ev, SOLVERS, args=(theta_,))
+                            ev, SOLVERS, args=(theta_,),
+                            ravel_state=not tree_state_capable(method))
 
-    def _backward_pass(y0_saved, t_int, ys_flat, g_ys, theta_, sign):
-        """The interval-by-interval adjoint sweep (reference
-        adjoint.py:124-141) over internal-frame times `t_int` (increasing;
-        `sign` converts between the internal and user time frames).
+    def _backward_pass(y0_saved, t_int, ys, g_ys, theta_, sign):
+        """The adjoint sweep (reference adjoint.py:124-141) over
+        internal-frame times `t_int` (increasing; `sign` converts between
+        the internal and user time frames).  `ys`/`g_ys` are in the user's
+        state structure with a leading time axis; the augmented state
+        ``(vjp_t, y, adj_y, theta_bar)`` stays a NATIVE-SHAPE pytree end to
+        end — no ravel, so leaf shardings (e.g. a data-parallel batch axis)
+        survive the backward while_loop (see ops/treemath.py).
         Returns (adj_y, theta_bar, vt_final, dLds)."""
-        y0_flat, unravel_y0 = ravel_pytree(y0_saved)
-        y_dtype = y0_flat.dtype
+        sdt = state_dtype(y0_saved)
+        sign_t = jnp.asarray(sign)
 
-        def f_int(tt, yy, th):
-            tt = jnp.asarray(tt).astype(y_dtype)
-            f_tree = pure_func(tt, unravel_y0(yy), th)
-            ff, _ = ravel_pytree(f_tree)
-            return ff
-
-        sign_y = jnp.asarray(sign).astype(y_dtype)
-        f_dir = lambda tt, yy, th: sign_y * f_int(sign_y * tt, yy, th)
+        def f_dir(tt, yy, th):
+            # internal increasing frame: f'(s) = sign * f(sign * s)
+            tt = jnp.asarray(tt)
+            tt = (sign_t.astype(tt.dtype) * tt).astype(sdt)
+            f_tree = pure_func(tt, yy, th)
+            return tmap(lambda l: cast_time(sign_t, l) * l, f_tree)
 
         def aug_dyn(s, aug):
             vt, y, adj_y, th_bar = aug
             f, vjp_fn = jax.vjp(lambda ss, yy, th: f_dir(ss, yy, th),
                                 s, y, theta_)
-            vt_new, vy, vth = vjp_fn(-adj_y)
+            vt_new, vy, vth = vjp_fn(tmap(jnp.negative, adj_y))
             return (vt_new.astype(vt.dtype), f, vy, vth)
 
         # remap `*_adjoint` callbacks onto the backward solve (reference
@@ -190,24 +205,42 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
 
         adj_opts = dict(adjoint_options)
         adj_opts['norm'] = _make_adjoint_norm(
-            adjoint_options, user_state_norm, single_array_state, unravel_y0)
+            adjoint_options, user_state_norm, single_array_state)
 
         th_bar0 = jax.tree_util.tree_map(jnp.zeros_like, theta_)
-        aug0 = (jnp.zeros((), dtype=y_dtype), ys_flat[-1], g_ys[-1], th_bar0)
+        y_T = tindex(ys, -1)
+        g_T = tindex(g_ys, -1)
+        aug0 = (jnp.zeros((), dtype=sdt), y_T, g_T, th_bar0)
 
         # Effect of moving each measurement time t_i (reference
         # adjoint.py:128-131): all T-1 dot products <f(t_i, y_i), g_i> are
         # computed in ONE batched VF call up front instead of one
         # *sequential* eval per interval inside the sweep.
         f_at_out = jax.vmap(lambda tt, yy: f_dir(tt, yy, theta_))(
-            t_int[1:], ys_flat[1:])
-        dLds = jnp.einsum('tn,tn->t', f_at_out, g_ys[1:].astype(f_at_out.dtype))
+            t_int[1:], tmap(lambda a: a[1:], ys))
+
+        def _dot_t(fl, gl):
+            fl2 = fl.reshape((fl.shape[0], -1))
+            gl2 = gl.astype(fl.dtype).reshape((gl.shape[0], -1))
+            return jnp.einsum('tn,tn->t', fl2, gl2)
+
+        dLds = sum(
+            _dot_t(fl, gl) for fl, gl in zip(
+                jax.tree_util.tree_leaves(f_at_out),
+                jax.tree_util.tree_leaves(tmap(lambda a: a[1:], g_ys))))
 
         # Warm-start gate: chaining the controller's proposed dt across
         # intervals only makes sense for adaptive backward methods.
         adj_kind = SOLVERS[adjoint_method or 'dopri5']['kind']
         warm_start = (adj_kind == 'adaptive'
                       and 'first_step' not in adj_opts)
+        if adj_kind == 'adaptive':
+            # The backward solve's only outputs are interval endpoints
+            # (interior cotangents enter via jump_t interface points), so
+            # land steps exactly ON them: the per-step quartic fit and the
+            # (5, n)-per-leaf interpolation carry disappear from the hot
+            # backward loop (see AdaptiveConfig.step_to_end).
+            adj_opts.setdefault('step_to_end', True)
 
         def solve_interval(aug, t_i, t_im1, dLd, opts):
             vt, y, adj_y, th_bar = aug
@@ -216,13 +249,12 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
                                   jnp.stack([t_i, t_im1]),
                                   adjoint_rtol, adjoint_atol, adjoint_method,
                                   opts, 'reverse')
-            vt, y, adj_y, th_bar = jax.tree_util.tree_map(lambda a: a[1], sol)
-            return (vt, y, adj_y, th_bar), st.final_dt
+            return tindex(sol, 1), st.final_dt
 
         def finish_interval(aug, y_im1, g_im1):
             vt, _, adj_y, th_bar = aug
             # reset y to the forward-pass estimate; add the output cotangent
-            return (vt, y_im1, adj_y + g_im1, th_bar)
+            return (vt, y_im1, tmap(jnp.add, adj_y, g_im1), th_bar)
 
         T = t_int.shape[0]
 
@@ -237,20 +269,25 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
         fused = (warm_start and T > 2
                  and 'step_t' not in adj_opts and 'jump_t' not in adj_opts)
         if fused:
-            vt0 = (-dLds[-1]).astype(y_dtype).reshape(())
-            aug0f = (vt0, ys_flat[-1], g_ys[-1], th_bar0)
+            vt0 = (-dLds[-1]).astype(sdt).reshape(())
+            aug0f = (vt0, y_T, g_T, th_bar0)
             _, unravel_aug = ravel_pytree(aug0f)
 
-            def inject(k, tt, aug_flat):
-                vt, y, adj_y, th_bar = unravel_aug(aug_flat)
+            def inject(k, tt, aug_state):
+                # The driver hands over its own state representation: the
+                # aug pytree when the backward method runs tree-native, or
+                # a raveled vector otherwise.
+                raveled = not isinstance(aug_state, tuple)
+                aug = unravel_aug(aug_state) if raveled else aug_state
+                vt, y, adj_y, th_bar = aug
                 # check_inputs negates+sorts jump_t, so jump index k maps
                 # to boundary j = (T-2) - k of the increasing grid t_int
                 j = (T - 2) - k
                 vt = vt - dLds[j - 1].astype(vt.dtype)
-                y = ys_flat[j]               # reset to forward estimate
-                adj_y = adj_y + g_ys[j]      # add the output cotangent
-                flat, _ = ravel_pytree((vt, y, adj_y, th_bar))
-                return flat
+                y = tindex(ys, j)            # reset to forward estimate
+                adj_y = tmap(jnp.add, adj_y, tindex(g_ys, j))  # + cotangent
+                out = (vt, y, adj_y, th_bar)
+                return ravel_pytree(out)[0] if raveled else out
 
             opts = dict(adj_opts)
             opts['jump_t'] = t_int[1:-1]
@@ -266,22 +303,22 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
                                  jnp.stack([t_int[-1], t_int[0]]),
                                  adjoint_rtol, adjoint_atol, adjoint_method,
                                  opts, 'reverse')
-            vt, _, adj_y, th_bar = jax.tree_util.tree_map(lambda a: a[1],
-                                                          sol)
-            adj_y = adj_y + g_ys[0]
+            vt, _, adj_y, th_bar = tindex(sol, 1)
+            adj_y = tmap(jnp.add, adj_y, tindex(g_ys, 0))
             return adj_y, th_bar, vt, dLds
 
         # ---- fallback: interval-by-interval sweep (non-adaptive adjoint
         # methods, user-supplied step_t/jump_t/first_step, or T == 2) ----
         t_i_rev = t_int[1:][::-1]
         t_im1_rev = t_int[:-1][::-1]
-        y_im1_rev = ys_flat[:-1][::-1]
-        g_im1_rev = g_ys[:-1][::-1]
+        y_im1_rev = tmap(lambda a: a[:-1][::-1], ys)
+        g_im1_rev = tmap(lambda a: a[:-1][::-1], g_ys)
         dLd_rev = dLds[::-1]
 
         aug, dt_ws = solve_interval(aug0, t_i_rev[0], t_im1_rev[0],
                                     dLd_rev[0], adj_opts)
-        aug = finish_interval(aug, y_im1_rev[0], g_im1_rev[0])
+        aug = finish_interval(aug, tindex(y_im1_rev, 0),
+                              tindex(g_im1_rev, 0))
 
         if T > 2:
             def scan_body(carry, inp):
@@ -294,8 +331,9 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
                 aug = finish_interval(aug, y_im1, g_im1)
                 return (aug, dt_next), None
 
-            inputs = (t_i_rev[1:], t_im1_rev[1:], y_im1_rev[1:],
-                      g_im1_rev[1:], dLd_rev[1:])
+            inputs = (t_i_rev[1:], t_im1_rev[1:],
+                      tmap(lambda a: a[1:], y_im1_rev),
+                      tmap(lambda a: a[1:], g_im1_rev), dLd_rev[1:])
             (aug, _), _ = jax.lax.scan(scan_body, (aug, dt_ws), inputs)
 
         vt, _, adj_y, th_bar = aug
@@ -306,66 +344,69 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
         @jax.custom_vjp
         def op(y0_, t_, theta_):
             prob = _normalise(y0_, t_, theta_)
-            return _solve_normalised(prob)
+            ys_n, stats = _solve_normalised(prob)
+            # The op's boundary representation is always the user pytree
+            # (with a leading time axis), so the backward pass is
+            # representation-agnostic.
+            return flat_to_tree(prob.unravel, ys_n), stats
 
         def op_fwd(y0_, t_, theta_):
             prob = _normalise(y0_, t_, theta_)
-            ys_flat, stats = _solve_normalised(prob)
-            return (ys_flat, stats), (y0_, t_, theta_, ys_flat)
+            ys_n, stats = _solve_normalised(prob)
+            ys_tree = flat_to_tree(prob.unravel, ys_n)
+            return (ys_tree, stats), (y0_, t_, theta_, ys_tree)
 
         def op_bwd(res, ct):
-            y0_, t_, theta_, ys_flat = res
+            y0_, t_, theta_, ys_tree = res
             g_ys = ct[0]
             sign = time_sign(t_)
             t_int = sign * t_
-            adj_y, th_bar, vt, dLds = _backward_pass(y0_, t_int, ys_flat,
+            adj_y, th_bar, vt, dLds = _backward_pass(y0_, t_int, ys_tree,
                                                      g_ys, theta_, sign)
             # dLds is already in forward output order (dLds[j] ↔ t[j+1])
             time_vjps = jnp.concatenate(
-                [vt[None].astype(t_.dtype), dLds.astype(t_.dtype)])
+                [_to_time_dtype(vt[None], t_.dtype),
+                 _to_time_dtype(dLds, t_.dtype)])
             g_t = sign * time_vjps
-            _, unravel_y0 = ravel_pytree(y0_)
-            return unravel_y0(adj_y), g_t, th_bar
+            return adj_y, g_t, th_bar
 
         op.defvjp(op_fwd, op_bwd)
 
-        ys_flat, stats = op(y0, t, theta)
-        _, unravel_y0 = ravel_pytree(y0)
-        return flat_to_tree(unravel_y0, ys_flat), stats
+        return op(y0, t, theta)
 
     else:
 
         @jax.custom_vjp
         def op_ev(y0_, t_, theta_):
             prob = _normalise(y0_, t_, theta_)
-            return _solve_event_normalised(prob)
+            event_t, ys2, stats = _solve_event_normalised(prob)
+            return event_t, flat_to_tree(prob.unravel, ys2), stats
 
         def op_fwd(y0_, t_, theta_):
             prob = _normalise(y0_, t_, theta_)
             event_t, ys2, stats = _solve_event_normalised(prob)
-            return (event_t, ys2, stats), (y0_, t_, theta_, event_t, ys2)
+            ys2_tree = flat_to_tree(prob.unravel, ys2)
+            return ((event_t, ys2_tree, stats),
+                    (y0_, t_, theta_, event_t, ys2_tree))
 
         def op_bwd(res, ct):
-            y0_, t_, theta_, event_t, ys2 = res
+            y0_, t_, theta_, event_t, ys2_tree = res
             # Backprop as if integrating up to the event time; does NOT
             # backprop through the event time itself (adjoint.py:45-52) —
             # that gradient comes from the IFT layer in odeint_event.
             _g_event_t, g_ys2, _g_stats = ct
             sign = time_sign(t_)
             t_eff = jnp.stack([(sign * t_)[0], event_t])
-            adj_y, th_bar, vt, _ = _backward_pass(y0_, t_eff, ys2, g_ys2,
-                                                  theta_, sign)
+            adj_y, th_bar, vt, _ = _backward_pass(y0_, t_eff, ys2_tree,
+                                                  g_ys2, theta_, sign)
             g_t = sign * jnp.concatenate(
-                [vt[None].astype(t_.dtype),
+                [_to_time_dtype(vt[None], t_.dtype),
                  jnp.zeros((t_.shape[0] - 1,), dtype=t_.dtype)])
-            _, unravel_y0 = ravel_pytree(y0_)
-            return unravel_y0(adj_y), g_t, th_bar
+            return adj_y, g_t, th_bar
 
         op_ev.defvjp(op_fwd, op_bwd)
 
-        event_t, ys2_flat, stats = op_ev(y0, t, theta)
-        _, unravel_y0 = ravel_pytree(y0)
-        ys_tree = flat_to_tree(unravel_y0, ys2_flat)
+        event_t, ys_tree, stats = op_ev(y0, t, theta)
         event_t = time_sign(t) * event_t
         return (event_t, ys_tree), stats
 

@@ -155,6 +155,9 @@ def odeint_dense(func, y0, t0, t1, *, rtol=1e-7, atol=1e-9, method=None,
             f"allows only dopri5, odeint.py:119; this build accepts any "
             f"adaptive tableau), got method={prob.method!r}")
     cfg = _adaptive_config(prob, spec["tableau"])
+    # dense output IS the interpolant — the interp-free fast path is
+    # meaningless here
+    cfg = cfg._replace(step_to_end=False)
 
     ts = prob.t
     n = prob.y0.shape[0]

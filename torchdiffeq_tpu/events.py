@@ -22,9 +22,14 @@ def find_event(interp_fn, sign0, t0, t1, event_fn, tol):
     `no_grad` too).  The final interpolant evaluation IS differentiable,
     exactly as in the reference.
     """
-    # per-leaf tolerance vectors collapse to their max (the bisection count
-    # must be a scalar)
-    tol = jnp.max(jnp.asarray(tol)).astype(jnp.asarray(t0).dtype)
+    # per-leaf tolerance vectors/trees collapse to their max (the bisection
+    # count must be a scalar)
+    tol_leaves = [jnp.max(jnp.asarray(l))
+                  for l in jax.tree_util.tree_leaves(tol)]
+    tol = tol_leaves[0]
+    for l in tol_leaves[1:]:
+        tol = jnp.maximum(tol, l)
+    tol = tol.astype(jnp.asarray(t0).dtype)
     # abs: DenseSolution.find_event bisects in user time, which decreases
     # for reverse-time solves (odeint_event always passes t0 < t1)
     span = jnp.abs(jax.lax.stop_gradient(t1 - t0))

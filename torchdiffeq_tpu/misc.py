@@ -150,34 +150,60 @@ def _tree_tol(name, tol, y0_tree, flat_template):
     return jnp.concatenate(parts)
 
 
+def _tree_tol_tree(name, tol, y0_tree):
+    """Tree-state analogue of `_tree_tol`: a scalar passes through
+    unchanged; a per-leaf sequence becomes a pytree of scalars matching
+    the state structure (reference ``_tuple_tol``, misc.py:115-123)."""
+    if np.isscalar(tol) or (isinstance(tol, (jnp.ndarray, np.ndarray))
+                            and np.ndim(tol) == 0):
+        return tol
+    leaves, treedef = jax.tree_util.tree_flatten(y0_tree)
+    tol = list(tol)
+    if len(tol) != len(leaves):
+        raise ValueError(
+            f"If using per-leaf {name} it must have the same length as the "
+            f"state pytree leaves ({len(leaves)}), got {len(tol)}.")
+    return jax.tree_util.tree_unflatten(treedef, tol)
+
+
 def _is_single_array(y0):
     return isinstance(y0, (jnp.ndarray, np.ndarray)) or np.isscalar(y0)
 
 
 class NormalisedProblem(NamedTuple):
-    func: Callable            # flat perturb-aware vector field
-    y0: jnp.ndarray           # (n,) flat
+    func: Callable            # normalised perturb-aware vector field
+    y0: Any                   # (n,) flat vector, or the state pytree itself
     t: jnp.ndarray            # (T,) increasing, time dtype
     rtol: Any
     atol: Any
     method: str
     options: dict
-    event_fn: Any             # flat event fn or None
+    event_fn: Any             # normalised event fn or None
     t_sign: Any               # +1/-1 scalar: t_internal = t_sign * t_user
-    unravel: Callable
-    norm: Callable            # norm on flat vectors
+    unravel: Callable         # flat (n,) -> user pytree; None in tree mode
+    norm: Callable            # norm on the internal state representation
     single_array_state: bool  # user state was a plain array (not a container)
     state_shape: Any          # shape of user state if single array
+    tree_state: bool = False  # state kept as a native-shape pytree
 
 
 def check_inputs(func, y0, t, rtol, atol, method, options, event_fn, solvers,
-                 args=(), time_direction='auto'):
-    """Normalise user inputs to flat-state form.
+                 args=(), time_direction='auto', ravel_state=True):
+    """Normalise user inputs to solver form.
 
     The JAX analogue of ``_check_inputs`` (reference misc.py:200-345):
-    flattens pytree state, broadcasts tolerances, handles reversed time by
-    negation, selects the default norm, and wraps the vector field with
-    perturbation support.
+    broadcasts tolerances, handles reversed time by negation, selects the
+    default norm, and wraps the vector field with perturbation support.
+
+    With ``ravel_state=True`` the state pytree is flattened to one ``(n,)``
+    vector (the reference's ``_flat_to_shape``/``_TupleFunc`` design,
+    misc.py:126-155) — required by drivers doing linear algebra on the
+    state (implicit stage solves, replay buffers, the dense-output and
+    Pallas paths).  With ``ravel_state=False`` the state stays a pytree of
+    native-shape leaves end-to-end (the explicit adaptive driver is
+    tree-polymorphic): no reshapes around vector-field calls, and — the
+    point, on TPU — leaf shardings (e.g. a batch axis over a device mesh)
+    survive the whole solve; see ops/treemath.py.
     """
     from .events import combine_event_functions  # local import to avoid cycle
 
@@ -190,30 +216,46 @@ def check_inputs(func, y0, t, rtol, atol, method, options, event_fn, solvers,
     # --- flatten state ---------------------------------------------------
     single_array = _is_single_array(y0)
     y0_tree = y0
-    y0_flat, unravel = ravel_pytree(y0)
-    if not jnp.issubdtype(y0_flat.dtype, jnp.floating) and not jnp.issubdtype(y0_flat.dtype, jnp.complexfloating):
-        raise TypeError(f"y0 must be floating point, got {y0_flat.dtype}")
+    leaves = jax.tree_util.tree_leaves(y0_tree)
+    for leaf in leaves:
+        ldt = jnp.asarray(leaf).dtype
+        if not (jnp.issubdtype(ldt, jnp.floating)
+                or jnp.issubdtype(ldt, jnp.complexfloating)):
+            raise TypeError(f"y0 must be floating point, got {ldt}")
     state_shape = jnp.shape(y0) if single_array else None
-    n_leaves = len(jax.tree_util.tree_leaves(y0_tree))
+    n_leaves = len(leaves)
 
-    rtol = _tree_tol('rtol', rtol, y0_tree, y0_flat)
-    atol = _tree_tol('atol', atol, y0_tree, y0_flat)
+    if ravel_state:
+        y0_flat, unravel = ravel_pytree(y0)
+        rtol = _tree_tol('rtol', rtol, y0_tree, y0_flat)
+        atol = _tree_tol('atol', atol, y0_tree, y0_flat)
+    else:
+        y0_flat = jax.tree_util.tree_map(jnp.asarray, y0_tree)
+        unravel = None
+        rtol = _tree_tol_tree('rtol', rtol, y0_flat)
+        atol = _tree_tol_tree('atol', atol, y0_flat)
 
     if args:
         base_func = lambda tt, yy: func(tt, yy, *args)
     else:
         base_func = func
 
-    def flat_func(tt, y_flat):
-        f = base_func(tt, unravel(y_flat))
-        f_flat, _ = ravel_pytree(f)
-        return f_flat
+    if ravel_state:
+        def flat_func(tt, y_flat):
+            f = base_func(tt, unravel(y_flat))
+            f_flat, _ = ravel_pytree(f)
+            return f_flat
+    else:
+        flat_func = base_func
 
     flat_event_fn = None
     if event_fn is not None:
-        def flat_event_fn_(tt, y_flat):
-            return event_fn(tt, unravel(y_flat))
-        flat_event_fn = flat_event_fn_
+        if ravel_state:
+            def flat_event_fn_(tt, y_flat):
+                return event_fn(tt, unravel(y_flat))
+            flat_event_fn = flat_event_fn_
+        else:
+            flat_event_fn = event_fn
 
     # --- method / options -------------------------------------------------
     options = {} if options is None else dict(options)
@@ -227,16 +269,19 @@ def check_inputs(func, y0, t, rtol, atol, method, options, event_fn, solvers,
     user_norm = options.pop('norm', None)
     if user_norm is None:
         if single_array:
-            def norm(x_flat):
-                return rms_norm(x_flat)
-        else:
+            norm = rms_norm          # RMS over all elements, any shape
+        elif ravel_state:
             def norm(x_flat):
                 return mixed_norm(unravel(x_flat))
-    else:
+        else:
+            norm = mixed_norm        # max of per-leaf RMS, directly on trees
+    elif ravel_state:
         # The user's norm sees the state in its own structure
         # (reference misc.py:236-259).
         def norm(x_flat):
             return user_norm(unravel(x_flat))
+    else:
+        norm = user_norm
 
     # --- time handling ----------------------------------------------------
     # TPU-native redesign of the reference's time reversal (misc.py:270-296):
@@ -266,8 +311,10 @@ def check_inputs(func, y0, t, rtol, atol, method, options, event_fn, solvers,
 
     def _sgn(x):
         # dtype-preserving sign multiply (t_sign lives in the time dtype and
-        # must not promote f32 state computations).
-        return t_sign.astype(jnp.asarray(x).dtype) * x
+        # must not promote f32 state computations); tree-wise so the
+        # vector-field output may be a pytree in tree-state mode.
+        return jax.tree_util.tree_map(
+            lambda l: t_sign.astype(jnp.asarray(l).dtype) * l, x)
 
     _base_flat_func = flat_func
     flat_func = lambda tt, y_flat: _sgn(_base_flat_func(_sgn(tt), y_flat))
@@ -305,7 +352,10 @@ def check_inputs(func, y0, t, rtol, atol, method, options, event_fn, solvers,
 
         def fire(t0_, y0_flat_, dt_, _cb=cb):
             def host(t0v, y0v, dtv):
-                _cb(t0v, unravel(jnp.asarray(y0v)), dtv)
+                if unravel is None:
+                    _cb(t0v, jax.tree_util.tree_map(jnp.asarray, y0v), dtv)
+                else:
+                    _cb(t0v, unravel(jnp.asarray(y0v)), dtv)
             jax.debug.callback(host, t_sign * t0_, y0_flat_, dt_)
 
         setattr(wrapped, name, fire)
@@ -326,7 +376,7 @@ def check_inputs(func, y0, t, rtol, atol, method, options, event_fn, solvers,
         func=wrapped, y0=y0_flat, t=t, rtol=rtol, atol=atol, method=method,
         options=options, event_fn=flat_event_fn, t_sign=t_sign,
         unravel=unravel, norm=norm, single_array_state=single_array,
-        state_shape=state_shape)
+        state_shape=state_shape, tree_state=not ravel_state)
 
 
 def _check_monotonic(t):
@@ -375,7 +425,8 @@ class PerturbedFunc:
         t = jnp.asarray(t)
         if jnp.issubdtype(t.dtype, jnp.complexfloating):
             t = t.real
-        t = t.astype(real_dtype(jnp.asarray(y).dtype))
+        t = t.astype(real_dtype(
+            jnp.result_type(*jax.tree_util.tree_leaves(y))))
         if perturb is Perturb.NEXT:
             t = nextafter_up(t)
         elif perturb is Perturb.PREV:
@@ -386,5 +437,8 @@ class PerturbedFunc:
 def flat_to_tree(unravel, ys_flat):
     """Map a stacked flat solution (T, n) back to the user pytree with a
     leading time axis on every leaf (reference ``_flat_to_shape``,
-    misc.py:126-134)."""
+    misc.py:126-134).  Tree-state solutions (unravel is None) are already
+    in the user structure."""
+    if unravel is None:
+        return ys_flat
     return jax.vmap(unravel)(ys_flat)

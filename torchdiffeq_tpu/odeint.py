@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .misc import check_inputs, flat_to_tree, NormalisedProblem
-from .solvers import SOLVERS, DIRECT_DIFF_KINDS
+from .solvers import SOLVERS, DIRECT_DIFF_KINDS, tree_state_capable
 from .solvers import adaptive_rk, fixed_grid
 from .solvers.solution import Stats
 
@@ -52,12 +52,15 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
                   'dfactor', 'min_step', 'max_step', 'max_num_steps',
                   'controller', 'pcoeff', 'icoeff', 'dcoeff', 'replay_grad',
                   'max_segments', 'compensated_time', 'stage_tol',
-                  'max_iters', 'jump_state_fn', 'forward_grad'})
+                  'max_iters', 'jump_state_fn', 'forward_grad',
+                  'step_to_end', 'error_dtype'})
     step_fn = None
     if tableau.implicit:
-        from .solvers.adaptive_implicit import make_esdirk_step_fn
-        step_fn = make_esdirk_step_fn(stage_tol=opts.get('stage_tol'),
-                                      max_iters=opts.get('max_iters', 100))
+        from .solvers.adaptive_implicit import (make_esdirk_step_fn,
+                                                make_firk_step_fn)
+        make = make_esdirk_step_fn if tableau.sdirk else make_firk_step_fn
+        step_fn = make(stage_tol=opts.get('stage_tol'),
+                       max_iters=opts.get('max_iters', 100))
     return adaptive_rk.AdaptiveConfig(
         step_fn=step_fn,
         tableau=tableau, rtol=prob.rtol, atol=prob.atol, norm=prob.norm,
@@ -74,7 +77,9 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
         icoeff=opts.get('icoeff', 0.7),
         dcoeff=opts.get('dcoeff', 0.0),
         compensated_time=opts.get('compensated_time', True),
-        jump_state_fn=opts.get('jump_state_fn'))
+        jump_state_fn=opts.get('jump_state_fn'),
+        step_to_end=bool(opts.get('step_to_end', False)),
+        error_dtype=opts.get('error_dtype'))
 
 
 def _solve_normalised(prob: NormalisedProblem):
@@ -142,7 +147,8 @@ def _solve_event_normalised(prob: NormalisedProblem):
             atol=prob.atol)
     else:
         raise ValueError(f"method '{prob.method}' does not support event handling")
-    ys2 = jnp.stack([prob.y0, y_event])
+    ys2 = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]),
+                                 prob.y0, y_event)
     return event_t, ys2, stats
 
 
@@ -241,8 +247,13 @@ def _odeint_impl(func, y0, t, rtol, atol, method, options, event_fn, args,
                                       or 'block_b' in options):
         options = {k: v for k, v in options.items()
                    if k not in ('pallas', 'interpret', 'block_b')}
+    # Native-shape tree state for the explicit adaptive tier (replay mode
+    # keeps the raveled representation — its recording buffers are flat).
+    tree_ok = (tree_state_capable(method)
+               and not (isinstance(options, dict)
+                        and options.get('replay_grad')))
     prob = check_inputs(func, y0, t, rtol, atol, method, options, event_fn,
-                        SOLVERS, args=args)
+                        SOLVERS, args=args, ravel_state=not tree_ok)
     spec = SOLVERS[prob.method]
     direct = spec['kind'] in DIRECT_DIFF_KINDS or spec['kind'] == 'scipy'
     if direct and isinstance(prob.options, dict) \
@@ -286,6 +297,9 @@ def _odeint_impl(func, y0, t, rtol, atol, method, options, event_fn, args,
         from .solvers import replay
         opts = dict(prob.options)
         opts.pop('replay_grad', None)
+        # replay re-executes recorded segments through the interpolant;
+        # the interp-free fast path does not compose with it
+        opts.pop('step_to_end', None)
         max_segments = opts.pop('max_segments', None)
         prob2 = prob._replace(options=opts)
         cfg = _adaptive_config(prob2, spec['tableau'])

@@ -1,9 +1,11 @@
-"""Generic explicit Runge-Kutta step kernels on flat state.
+"""Generic explicit Runge-Kutta step kernels on pytree state.
 
 TPU-native design: the stage recursion is unrolled at trace time (stage count
 is static per tableau), every stage combination is a small weighted vector sum
-that XLA fuses into the surrounding vector-field computation, and all stage
-slopes are returned stacked as a ``(s, n)`` array for the dense-output fit.
+that XLA fuses into the surrounding vector-field computation.  State is any
+pytree of arrays with native shapes (a bare ``(n,)`` vector included) — see
+`ops/treemath.py` for why native shapes matter on TPU; stage slopes are
+returned as a tuple of state trees for the dense-output fit.
 
 Behavioral contract mirrors ``_runge_kutta_step`` (reference
 torchdiffeq/_impl/rk_common.py:43-90): FSAL shortcut, `Perturb.PREV` at
@@ -16,41 +18,66 @@ import jax.numpy as jnp
 
 from ..misc import Perturb
 from .tableaus import ButcherTableau
+from .treemath import tmap, cast_time, state_real_dtype
 
 
-def weighted_sum(coeffs, vecs, dt=None):
-    """sum_i coeffs[i] * vecs[i] (skipping statically-zero coefficients),
-    optionally scaled by `dt`.  `coeffs` is a host numpy vector."""
+def _weighted_sum_leaf(coeffs, leaves, dt, base=None):
+    # The reference scales each tableau coefficient by dt BEFORE the
+    # stage multiply-accumulate — ``sum(k * (beta_i * dt))``, rk_common.py:79
+    # (likewise for c_sol/c_error/c_mid and the FIRK stage combinations,
+    # rk_common.py:89-90,455,464,366).  Matching that rounding order makes
+    # single steps bitwise-identical, which DETEST NFE parity depends on:
+    # the post-scaled ``dt * sum(beta_i * k)`` variant drifts by one ULP in
+    # the error estimate and flips accept/reject decisions on problems that
+    # ride the boundary (DETEST C2).
+    dt_l = None if dt is None else cast_time(dt, leaves[0])
     total = None
-    for c, v in zip(coeffs, vecs):
+    for c, v in zip(coeffs, leaves):
         if c == 0.0:
             continue
         # python-float coefficients are weakly typed: they preserve the
         # state dtype (a numpy float64 scalar would promote f32 state).
-        term = float(c) * v
+        term = (float(c) * v) if dt_l is None else (float(c) * dt_l) * v
         total = term if total is None else total + term
     if total is None:
-        total = jnp.zeros_like(vecs[0])
-    if dt is not None:
-        total = dt * total
+        total = jnp.zeros_like(leaves[0])
+    if base is not None:
+        total = base + total
     return total
 
 
-def runge_kutta_step(func, y0, f0, t0, dt, t1, tableau: ButcherTableau):
+def weighted_sum(coeffs, vecs, dt=None, base=None):
+    """Per-leaf ``base + dt * sum_i coeffs[i] * vecs[i]`` (skipping
+    statically-zero coefficients) over a list of state pytrees.  `coeffs`
+    is a host numpy vector; `dt`/`base` are optional."""
+    vecs = list(vecs)
+    if base is None:
+        return tmap(lambda *ls: _weighted_sum_leaf(coeffs, ls, dt), *vecs)
+    return tmap(lambda b, *ls: _weighted_sum_leaf(coeffs, ls, dt, b),
+                base, *vecs)
+
+
+def runge_kutta_step(func, y0, f0, t0, dt, t1, tableau: ButcherTableau,
+                     error_dtype=None):
     """Take one explicit RK step and estimate the local error.
 
     Args:
-        func: perturb-aware flat vector field ``func(t, y, perturb=...)``.
-        y0: (n,) state at t0.
-        f0: (n,) derivative at t0.
+        func: perturb-aware vector field ``func(t, y, perturb=...)`` on
+            state pytrees.
+        y0: state pytree at t0.
+        f0: derivative there (same structure).
         t0, dt, t1: scalars (time dtype); t1 == t0 + dt.
         tableau: ButcherTableau.
+        error_dtype: optional dtype for the embedded-error accumulation.
+            The error estimate is a near-cancelling weighted sum of the
+            stage slopes; accumulating it in f32 while the stages stay
+            bfloat16 removes the cancellation noise that otherwise drowns
+            the estimate below rtol ~1e-3 (the TPU mixed-precision mode).
 
     Returns:
-        (y1, f1, y1_error, k) where k is (s, n) stacked stage slopes.
+        (y1, f1, y1_error, k) where k is a tuple of per-stage slope trees.
     """
-    from ..misc import real_dtype
-    t_dtype = real_dtype(y0.dtype)
+    t_dtype = state_real_dtype(y0)
     t0 = jnp.asarray(t0).astype(t_dtype)
     dt = jnp.asarray(dt).astype(t_dtype)
     t1 = jnp.asarray(t1).astype(t_dtype)
@@ -66,18 +93,21 @@ def runge_kutta_step(func, y0, f0, t0, dt, t1, tableau: ButcherTableau):
         else:
             ti = t0 + alpha_i * dt
             perturb = Perturb.NONE
-        yi = y0 + weighted_sum(tableau.beta[i, :i + 1], k[:i + 1], dt)
+        yi = weighted_sum(tableau.beta[i, :i + 1], k[:i + 1], dt, base=y0)
         k.append(func(ti, yi, perturb=perturb))
 
     if tableau.is_fsal:
         # The last stage already evaluated f at (t1, y1): `yi` IS y1.
         y1 = yi
     else:
-        y1 = y0 + weighted_sum(tableau.c_sol, k, dt)
+        y1 = weighted_sum(tableau.c_sol, k, dt, base=y0)
     f1 = k[-1]
-    y1_error = weighted_sum(tableau.c_error, k, dt)
-    k = jnp.stack(k)
-    return y1, f1, y1_error, k
+    if error_dtype is None:
+        y1_error = weighted_sum(tableau.c_error, k, dt)
+    else:
+        k_up = [tmap(lambda l: l.astype(error_dtype), ki) for ki in k]
+        y1_error = weighted_sum(tableau.c_error, k_up, dt)
+    return y1, f1, y1_error, tuple(k)
 
 
 # ---------------------------------------------------------------------------

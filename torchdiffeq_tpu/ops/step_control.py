@@ -9,6 +9,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..misc import Perturb
+from .treemath import tmap, tol_like, cast_time, state_real_dtype
+
+
+def error_scale(rtol, atol, y0, y1=None):
+    """Per-leaf ``atol + rtol * |y0|`` (or ``max(|y0|, |y1|)``), the
+    tolerance scale of reference misc.py:80-82.  Tolerances may be scalars,
+    flat vectors (flat state) or per-leaf trees (tree state)."""
+    rtol = tol_like(rtol, y0)
+    atol = tol_like(atol, y0)
+    if y1 is None:
+        return tmap(lambda a, r, l: a + jnp.abs(l) * r, atol, rtol, y0)
+    return tmap(
+        lambda a, r, l0, l1: a + r * jnp.maximum(jnp.abs(l0), jnp.abs(l1)),
+        atol, rtol, y0, y1)
 
 
 def select_initial_step(func, t0, y0, order, rtol, atol, norm, f0):
@@ -18,25 +32,24 @@ def select_initial_step(func, t0, y0, order, rtol, atol, norm, f0):
     `order` here is `solver_order - 1`, matching the reference call site
     (rk_common.py:219).  Costs one extra vector-field evaluation.
     """
-    from ..misc import real_dtype
-    dtype = real_dtype(y0.dtype)
+    dtype = state_real_dtype(y0)
     t_dtype = jnp.asarray(t0).dtype
 
-    scale = atol + jnp.abs(y0) * rtol
+    scale = error_scale(rtol, atol, y0)
 
-    d0 = jnp.abs(norm(y0 / scale))
-    d1 = jnp.abs(norm(f0 / scale))
+    d0 = jnp.abs(norm(tmap(lambda l, s: l / s, y0, scale)))
+    d1 = jnp.abs(norm(tmap(lambda l, s: l / s, f0, scale)))
 
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5),
                    jnp.asarray(1e-6, dtype=dtype),
                    0.01 * d0 / jnp.maximum(d1, jnp.finfo(dtype).tiny))
     h0 = jnp.abs(h0)
 
-    y1 = y0 + h0.astype(dtype) * f0
+    y1 = tmap(lambda l, fl: l + cast_time(h0, l) * fl, y0, f0)
     f1 = func(jnp.asarray(t0).astype(dtype) + h0.astype(dtype), y1,
               perturb=Perturb.NONE)
 
-    d2 = jnp.abs(norm((f1 - f0) / scale) / h0)
+    d2 = jnp.abs(norm(tmap(lambda a, b, s: (a - b) / s, f1, f0, scale)) / h0)
 
     d_max = jnp.maximum(d1, d2)
     h1 = jnp.where(
@@ -50,8 +63,8 @@ def select_initial_step(func, t0, y0, order, rtol, atol, norm, f0):
 
 def compute_error_ratio(error_estimate, rtol, atol, y0, y1, norm):
     """norm(err / (atol + rtol * max(|y0|, |y1|))) (reference misc.py:80-82)."""
-    error_tol = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-    return jnp.abs(norm(error_estimate / error_tol))
+    error_tol = error_scale(rtol, atol, y0, y1)
+    return jnp.abs(norm(tmap(lambda e, s: e / s, error_estimate, error_tol)))
 
 
 def optimal_step_size(last_step, error_ratio, safety, ifactor, dfactor, order):

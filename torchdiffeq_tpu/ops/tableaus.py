@@ -442,3 +442,58 @@ def _kvaerno5():
 
 
 KVAERNO5 = _kvaerno5()
+
+
+def _radau5a():
+    """Adaptive Radau IIA 5(3): the stiff-benchmark standard (Hairer &
+    Wanner, "Solving ODEs II", ch. IV.8 / RADAU5) under the adaptive
+    driver.  Beyond the reference, whose Radau IIA tier is fixed-grid only
+    (torchdiffeq/_impl/fixed_grid_implicit.py:59-108).
+
+    Convention matches the adaptive-implicit tier: stage 0 is the carried
+    derivative f(t0, y0) (zero coupling row, zero solution weight); stages
+    1..3 are the collocation stages solved as one coupled system
+    (implicit=True, sdirk=False -> FIRK step kernel).  The embedded
+    3rd-order error weights use an f0 term with Hairer's gamma0 = 1/gamma
+    (gamma the real eigenvalue of A^{-1}); order conditions for the
+    embedded quadrature hold exactly through q=2 (verified in
+    tests/test_convergence.py).  Dense-output mid weights come from the
+    collocation polynomial integrated to theta=1/2 (reproduces b at
+    theta=1 to machine precision).
+    """
+    s6 = np.sqrt(6.0)
+    c = np.array([2 / 5 - s6 / 10, 2 / 5 + s6 / 10, 1.0])
+    A = np.array([
+        [11 / 45 - 7 * s6 / 360, 37 / 225 - 169 * s6 / 1800,
+         -2 / 225 + s6 / 75],
+        [37 / 225 + 169 * s6 / 1800, 11 / 45 + 7 * s6 / 360,
+         -2 / 225 - s6 / 75],
+        [4 / 9 - s6 / 36, 4 / 9 + s6 / 36, 1 / 9]])
+    b = A[-1]
+
+    # embedded order-3 weights (d0 on f0, d on the stages):
+    #   d0 + sum d_i = 1, sum d_i c_i = 1/2, sum d_i c_i^2 = 1/3
+    gamma = 3.637834252744496   # real eigenvalue of A^{-1} (RADAU5)
+    d0 = 1.0 / gamma
+    M = np.vstack([np.ones(3), c, c ** 2])
+    d = np.linalg.solve(M, np.array([1.0 - d0, 0.5, 1.0 / 3.0]))
+
+    # collocation dense output: b_i(theta) = int_0^theta l_i(tau) dtau
+    import numpy.polynomial.polynomial as _P
+    c_mid = [0.0]
+    for i in range(3):
+        others = [c[j] for j in range(3) if j != i]
+        num = _P.polyfromroots(others)
+        den = np.prod([c[i] - o for o in others])
+        c_mid.append(float(_P.polyval(0.5, _P.polyint(num / den))))
+
+    return _tab(
+        alpha=[0.0] + list(c),
+        beta_rows=[[0.0]] + [[0.0] + list(row) for row in A],
+        c_sol=[0.0] + list(b),
+        c_error=[d0] + list(d - b),
+        c_mid=c_mid,
+        order=5, implicit=True, sdirk=False)
+
+
+RADAU5A = _radau5a()

@@ -44,6 +44,9 @@ SOLVERS = {
     # ESDIRK with embedded error under the same while_loop driver.
     'kvaerno3': dict(kind='adaptive', tableau=tb.KVAERNO3),
     'kvaerno5': dict(kind='adaptive', tableau=tb.KVAERNO5),
+    # Adaptive Radau IIA 5(3) — the stiff-benchmark standard (RADAU5);
+    # fully-coupled collocation stages under the adaptive driver.
+    'radau5a': dict(kind='adaptive', tableau=tb.RADAU5A),
     # Backward compatibility alias, as in the reference.
     'fixed_adams': dict(kind='adams', implicit=True),
     'scipy_solver': dict(kind='scipy'),
@@ -55,3 +58,14 @@ SOLVERS = {
 # a continuous-adjoint custom_vjp instead (lax.while_loop is not
 # reverse-differentiable; see adjoint.py).
 DIRECT_DIFF_KINDS = frozenset({'fixed', 'adams', 'firk', 'dirk'})
+
+
+def tree_state_capable(method):
+    """Whether `method`'s driver can keep the state as a native-shape
+    pytree (no ravel; see ops/treemath.py).  True for the explicit
+    adaptive tier; implicit stage solves (ESDIRK/FIRK/DIRK) and the
+    scan/replay/dense/Pallas paths do linear algebra or buffer writes on a
+    flat vector and keep the raveled representation."""
+    spec = SOLVERS.get(method if method is not None else 'dopri5')
+    return (spec is not None and spec['kind'] == 'adaptive'
+            and not spec['tableau'].implicit)

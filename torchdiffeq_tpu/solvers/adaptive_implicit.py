@@ -140,6 +140,81 @@ def make_esdirk_step_fn(stage_tol=None, max_iters=100):
         big = jnp.asarray(1e10, dtype=y1_error.dtype)
         y1_error = jnp.where(all_conv > 0.5, y1_error,
                              y1_error + big * jnp.ones_like(y1_error))
-        return y1, f1, y1_error, jnp.stack(k)
+        return y1, f1, y1_error, tuple(k)
+
+    return step_fn
+
+
+def make_firk_step_fn(stage_tol=None, max_iters=100):
+    """Build a `step_fn` for fully-coupled implicit (FIRK) tableaus under
+    the adaptive driver — the adaptive Radau IIA 5(3) tier (RADAU5A,
+    ops/tableaus.py).  All collocation stages are solved as ONE stacked
+    Newton system wrapped in `jax.lax.custom_root` (IFT gradients both
+    modes, like `_stage_root`); stage 0 is the carried derivative f(t0,y0)
+    with zero coupling/solution weights, and stiff accuracy (c_s = 1, b =
+    last coupling row) makes f1 = k[-1] carry FSAL-style — one explicit VF
+    evaluation per step, the implicit-NFE convention of the fixed-grid
+    tier (fixed_grid_implicit.py:276-282)."""
+
+    def step_fn(func, y0, f0, t0, dt, t1, tab):
+        t_dtype = real_dtype(y0.dtype)
+        t0c = jnp.asarray(t0).astype(t_dtype)
+        dtc = jnp.asarray(dt).astype(t_dtype)
+        t1c = jnp.asarray(t1).astype(t_dtype)
+        tol = _solve_tol(y0.dtype) if stage_tol is None else stage_tol
+
+        s = tab.n_stages
+        alpha = np.asarray(tab.alpha)
+        beta = np.asarray(tab.beta)
+        assert tab.implicit and float(alpha[0]) == 0.0 \
+            and not np.any(beta[0]), "step_fn expects a carried-f0 tableau"
+        m = s - 1                       # coupled stages
+        n = y0.shape[0]
+
+        complex_state = jnp.iscomplexobj(y0)
+        if complex_state:
+            pack = lambda z: jnp.concatenate([jnp.real(z), jnp.imag(z)])
+            unpack = lambda xr: (xr[:m * n] + 1j * xr[m * n:]).astype(y0.dtype)
+        else:
+            pack = unpack = lambda v: v
+
+        def residual(Kr):
+            K = unpack(Kr).reshape(m, n)
+            stages = [f0] + [K[i] for i in range(m)]
+            res = []
+            for i in range(1, s):
+                yi = weighted_sum(beta[i, :s], stages, dtc, base=y0)
+                if float(alpha[i]) == 1.0:
+                    ti, perturb = t1c, Perturb.PREV
+                else:
+                    ti = t0c + float(alpha[i]) * dtc
+                    perturb = Perturb.NONE
+                res.append(K[i - 1] - func(ti, yi, perturb=perturb))
+            return pack(jnp.concatenate(res))
+
+        def solve(res_fn, x0):
+            return _newton(res_fn, x0, tol, max_iters)
+
+        def tangent_solve(g, y):
+            # materialise the linearisation at zero so the solve is linear
+            # in y (required for reverse-mode transposition of custom_root)
+            J = jax.jacfwd(g)(jnp.zeros_like(y))
+            return jnp.linalg.solve(J, y)
+
+        K0 = pack(jnp.tile(f0, (m,)).astype(y0.dtype))
+        Kr, conv = jax.lax.custom_root(residual, K0, solve, tangent_solve,
+                                       has_aux=True)
+        K = unpack(Kr).reshape(m, n)
+        k = tuple([f0] + [K[i] for i in range(m)])
+
+        y1 = weighted_sum(tab.c_sol, k, dtc, base=y0)
+        f1 = k[-1]                      # stiffly accurate
+        y1_error = weighted_sum(tab.c_error, k, dtc)
+        big = jnp.asarray(1e10, dtype=y1_error.dtype)
+        conv_f = jax.lax.stop_gradient(
+            jnp.asarray(conv).astype(y1_error.real.dtype))
+        y1_error = jnp.where(conv_f > 0.5, y1_error,
+                             y1_error + big * jnp.ones_like(y1_error))
+        return y1, f1, y1_error, k
 
     return step_fn

@@ -31,22 +31,27 @@ from ..ops.step_control import (select_initial_step, compute_error_ratio,
                                 optimal_step_size, optimal_step_size_pi,
                                 optimal_step_size_pid)
 from ..ops.tableaus import ButcherTableau
+from ..ops.treemath import (tmap, twhere, tall_finite, zeros_buffer,
+                            state_size, bmask)
 from .solution import (Stats, OK, ERR_DT_UNDERFLOW, ERR_NONFINITE_STATE,
                        ERR_MAX_NUM_STEPS)
 
 
 class _Carry(NamedTuple):
-    # Mirror of `_RungeKuttaState` (reference rk_common.py:18) ...
-    y1: jnp.ndarray        # (n,) state at the end of the last accepted step
-    f1: jnp.ndarray        # (n,) derivative there
+    # Mirror of `_RungeKuttaState` (reference rk_common.py:18).  State
+    # fields are pytrees whose leaves keep their native shapes (a flat
+    # ``(n,)`` vector for raveled problems) — see ops/treemath.py for why
+    # native shapes matter for sharding on TPU ...
+    y1: Any                # state at the end of the last accepted step
+    f1: Any                # derivative there
     t0: jnp.ndarray        # scalar, start of the last step
     t1: jnp.ndarray        # scalar, end of the last step
     dt: jnp.ndarray        # scalar, proposed size of the next step
-    coeff: jnp.ndarray     # (5, n) dense-output coefficients on [t0, t1]
+    coeff: Any             # per-leaf (5, ...) dense-output coeffs on [t0, t1]
     # ... plus the output buffer and telemetry that the reference keeps on
     # the Python side:
     i_out: jnp.ndarray     # next output index to emit
-    out: jnp.ndarray       # (T, n) solution buffer
+    out: Any               # per-leaf (T, ...) solution buffer
     step_idx: jnp.ndarray  # next step_t index
     jump_idx: jnp.ndarray  # next jump_t index
     nfe: jnp.ndarray
@@ -98,6 +103,21 @@ class AdaptiveConfig(NamedTuple):
     # backward (adjoint.py) to inject output cotangents at interior output
     # times without restarting the while_loop per interval.
     jump_state_fn: Any = None
+    # Land steps exactly ON every output time (forced step_t boundaries)
+    # instead of stepping past and interpolating.  Emission then copies the
+    # step state directly, and the per-step quartic interpolation fit (and
+    # its (5, n) carry) is skipped entirely — the TPU-idiomatic mode for
+    # endpoint-only solves (T=2 training objectives, the fused adjoint
+    # backward): less HBM traffic per step at the price of a slightly
+    # different step sequence than the reference (hence opt-in).
+    step_to_end: bool = False
+    # Compute the embedded error estimate, its tolerance ratio, and the
+    # norm in this dtype while stages/state stay in the state dtype.  The
+    # TPU mixed-precision mode: bfloat16 state at f32 error control keeps
+    # the reference's tolerance semantics (misc.py:80-95) without the
+    # catastrophic-cancellation noise a bf16 error difference has below
+    # rtol ~1e-3.  None = state dtype (reference behavior).
+    error_dtype: Any = None
 
 
 def _step_kernel(cfg: AdaptiveConfig):
@@ -131,9 +151,8 @@ def _prep_tvals(tvals, t0, t_dtype):
 
 def _interp_fit_step(y0, y1, k, dt, tableau):
     """Quartic fit from the stage slopes (reference rk_common.py:363-369)."""
-    dt_y = jnp.asarray(dt).astype(y0.dtype)
-    y_mid = y0 + weighted_sum(tableau.c_mid, list(k), dt_y)
-    return interp_fit(y0, y1, y_mid, k[0], k[-1], dt_y)
+    y_mid = weighted_sum(tableau.c_mid, list(k), dt, base=y0)
+    return interp_fit(y0, y1, y_mid, k[0], k[-1], dt)
 
 
 def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
@@ -167,7 +186,7 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
         underflow = ~(t0 + dt > t0)
     err = jnp.where((err == OK) & underflow, ERR_DT_UNDERFLOW,
                     err).astype(jnp.int32)
-    err = jnp.where((err == OK) & ~jnp.all(jnp.isfinite(y0)),
+    err = jnp.where((err == OK) & ~tall_finite(y0),
                     ERR_NONFINITE_STATE, err).astype(jnp.int32)
 
     # --- step_t / jump_t truncation (rk_common.py:293-311) ----------------
@@ -219,14 +238,25 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
         dt = jnp.where(truncated, t1 - t0, dt)
 
     # --- the RK step -------------------------------------------------------
-    y1, f1, y1_err, k = _step_kernel(cfg)(func, y0, f0, t0, dt, t1, tab)
+    if cfg.error_dtype is not None and cfg.step_fn is None:
+        y1, f1, y1_err, k = runge_kutta_step(func, y0, f0, t0, dt, t1, tab,
+                                             error_dtype=cfg.error_dtype)
+    else:
+        y1, f1, y1_err, k = _step_kernel(cfg)(func, y0, f0, t0, dt, t1, tab)
     # implicit steppers report one explicit eval per step (the FSAL carry);
     # stage-solve residual evaluations are not user-visible NFE, matching
     # the fixed-grid implicit convention (fixed_grid_implicit.py:239-242)
     nfe = 1 if tab.implicit else len(tab.alpha)
 
-    error_ratio = compute_error_ratio(y1_err, cfg.rtol, cfg.atol, y0, y1,
-                                      cfg.norm)
+    if cfg.error_dtype is not None:
+        # mixed-precision error control: tolerance scale, ratio, and norm
+        # in error_dtype (f32) while state/stages stay e.g. bfloat16
+        up = lambda tr: tmap(lambda l: l.astype(cfg.error_dtype), tr)
+        error_ratio = compute_error_ratio(y1_err, cfg.rtol, cfg.atol,
+                                          up(y0), up(y1), cfg.norm)
+    else:
+        error_ratio = compute_error_ratio(y1_err, cfg.rtol, cfg.atol, y0,
+                                          y1, cfg.norm)
     accept = error_ratio <= 1
     accept = jnp.where(dt > cfg.max_step, False, accept)
     accept = jnp.where(dt <= cfg.min_step, True, accept)
@@ -250,9 +280,14 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
             lambda: f1)
 
     # branch-free select (a lax.cond here would constrain shard_map's
-    # varying-axes typing; the fit is ~10 fused vector ops)
-    coeff = jnp.where(accept, _interp_fit_step(y0, y1_prejump, k, dt, tab),
-                      c.coeff)
+    # varying-axes typing; the fit is ~10 fused vector ops).  In
+    # step_to_end mode no output is ever interpolated, so the fit (and its
+    # carry traffic) is skipped entirely.
+    if cfg.step_to_end:
+        coeff = c.coeff
+    else:
+        coeff = twhere(accept, _interp_fit_step(y0, y1_prejump, k, dt, tab),
+                       c.coeff)
 
     cb_acc = getattr(func, 'callback_accept_step', None)
     cb_rej = getattr(func, 'callback_reject_step', None)
@@ -265,8 +300,8 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
 
     t_next = jnp.where(accept, t1, t0)
     t_lo_next = jnp.where(accept, t1_lo, t0_lo) if use_dw else c.t1_lo
-    y_next = jnp.where(accept, y1, y0)
-    f_next = jnp.where(accept, f1, f0)
+    y_next = twhere(accept, y1, y0)
+    f_next = twhere(accept, f1, f0)
     if cfg.controller == 'pid':
         dt_next = optimal_step_size_pid(dt, error_ratio, c.prev_ratio,
                                         c.prev_ratio2, cfg.safety,
@@ -342,10 +377,19 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
     ts = jnp.asarray(ts)
     t_dtype = ts.dtype
     T = ts.shape[0]
-    n = y0.shape[0]
     use_dw = bool(cfg.compensated_time) and t_dtype == jnp.float32
 
     f0, dt0, nfe0 = _setup(func, y0, ts[0], cfg, t_dtype)
+
+    _check_no_duplicates(cfg.step_t, cfg.jump_t)
+    if cfg.step_to_end:
+        # Force a step boundary ON every output time; emission then copies
+        # the step state directly (no quartic fit/eval, no (5, n) carry).
+        extra = ts[1:]
+        merged = (extra if cfg.step_t is None
+                  else jnp.concatenate([jnp.asarray(cfg.step_t,
+                                                    dtype=t_dtype), extra]))
+        cfg = cfg._replace(step_t=merged)
 
     step_t = jump_t = None
     step_idx = jump_idx = jnp.int32(0)
@@ -353,10 +397,10 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
         step_t, step_idx = _prep_tvals(cfg.step_t, ts[0], t_dtype)
     if cfg.jump_t is not None:
         jump_t, jump_idx = _prep_tvals(cfg.jump_t, ts[0], t_dtype)
-    _check_no_duplicates(cfg.step_t, cfg.jump_t)
 
-    out = jnp.zeros((T, n), dtype=y0.dtype).at[0].set(y0)
-    zeros_coeff = jnp.zeros((5, n), dtype=y0.dtype).at[0].set(y0)
+    out = zeros_buffer(y0, T)
+    # one dead row in step_to_end mode (the interpolant is never fit/read)
+    zeros_coeff = zeros_buffer(y0, 1 if cfg.step_to_end else 5)
     zero_t = jnp.zeros((), dtype=t_dtype)
     carry = _Carry(
         y1=y0, f1=f0, t0=ts[0], t1=ts[0], dt=dt0, coeff=zeros_coeff,
@@ -373,7 +417,7 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
             return dw.dw_diff(t, c.t1, c.t1_lo) > 0
         return t > c.t1
 
-    if T * n <= _SCATTER_EMIT_MAX_ELEMENTS:
+    if T * state_size(y0) <= _SCATTER_EMIT_MAX_ELEMENTS:
         t_end = ts[-1]
 
         def cond(c):
@@ -386,12 +430,22 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
             if use_dw:
                 emit_mask = ((dw.dw_diff(ts, c2.t0, c2.t0_lo) > 0)
                              & (dw.dw_diff(ts, c2.t1, c2.t1_lo) <= 0))
+            else:
+                emit_mask = (ts > c2.t0) & (ts <= c2.t1)
+            if cfg.step_to_end:
+                # steps land exactly ON output times: the window holds at
+                # most the boundary itself — copy the step state directly
+                vals = tmap(
+                    lambda yl: jnp.broadcast_to(yl[None],
+                                                (T,) + jnp.shape(yl)),
+                    c2.y1)
+            elif use_dw:
                 vals = _interp_eval_vec(c2.coeff, c2.t0, c2.t1, ts,
                                         c2.t0_lo, c2.t1_lo)
             else:
-                emit_mask = (ts > c2.t0) & (ts <= c2.t1)
                 vals = _interp_eval_vec(c2.coeff, c2.t0, c2.t1, ts)
-            out = jnp.where(emit_mask[:, None], vals, c2.out)
+            out = tmap(lambda v, o: jnp.where(bmask(emit_mask, o), v, o),
+                       vals, c2.out)
             emitted_any = jnp.any(emit_mask)
             return c2._replace(
                 out=out,
@@ -408,12 +462,16 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
 
         def emit(c):
             next_t = ts[c.i_out]
-            if use_dw:
-                y = _interp_eval_vec(c.coeff, c.t0, c.t1, next_t[None],
-                                     c.t0_lo, c.t1_lo)[0]
+            if cfg.step_to_end:
+                y = c.y1           # the step landed exactly on next_t
+            elif use_dw:
+                y = tmap(lambda v: v[0],
+                         _interp_eval_vec(c.coeff, c.t0, c.t1, next_t[None],
+                                          c.t0_lo, c.t1_lo))
             else:
                 y = interp_evaluate(c.coeff, c.t0, c.t1, next_t)
-            return c._replace(out=c.out.at[c.i_out].set(y),
+            return c._replace(out=tmap(lambda o, yl: o.at[c.i_out].set(yl),
+                                       c.out, y),
                               i_out=c.i_out + 1,
                               steps_in_interval=jnp.int32(0))
 
@@ -431,8 +489,11 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
     # On failure, poison the unwritten tail of the buffer so downstream
     # consumers can't silently use stale zeros.
     bad = carry.err != OK
-    row_ids = jnp.arange(T)[:, None]
-    ys = jnp.where(bad & (row_ids >= carry.i_out), jnp.nan, carry.out)
+    row_ids = jnp.arange(T)
+    ys = tmap(
+        lambda o: jnp.where(bad & bmask(row_ids >= carry.i_out, o),
+                            jnp.nan, o),
+        carry.out)
 
     stats = Stats.make(nfe=carry.nfe, n_steps=carry.n_steps,
                        n_accepted=carry.n_acc, n_rejected=carry.n_rej,
@@ -451,13 +512,18 @@ def _interp_eval_vec(coeff, t0, t1, ts, t0_lo=None, t1_lo=None):
     else:
         denom = jnp.where(t1 > t0, t1 - t0, jnp.ones_like(t1))
         x = (ts - t0) / denom
-    x = x.astype(coeff.dtype)
-    total = coeff[0][None] + x[:, None] * coeff[1][None]
-    x_power = x
-    for i in range(2, coeff.shape[0]):
-        x_power = x_power * x
-        total = total + x_power[:, None] * coeff[i][None]
-    return total
+
+    def leaf(cl):
+        xl = x.astype(cl.dtype)
+        xb = xl.reshape(xl.shape + (1,) * (cl.ndim - 1))
+        total = cl[0][None] + xb * cl[1][None]
+        x_power = xb
+        for i in range(2, cl.shape[0]):
+            x_power = x_power * xb
+            total = total + x_power * cl[i][None]
+        return total
+
+    return tmap(leaf, coeff)
 
 
 def integrate_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig):
@@ -469,9 +535,12 @@ def integrate_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig):
     """
     from ..events import find_event
 
+    # event localisation bisects the dense interpolant — the step_to_end
+    # fast path (which skips the interpolant) does not apply here
+    cfg = cfg._replace(step_to_end=False)
+
     t0 = jnp.asarray(t0)
     t_dtype = t0.dtype
-    n = y0.shape[0]
     use_dw = bool(cfg.compensated_time) and t_dtype == jnp.float32
 
     f0, dt0, nfe0 = _setup(func, y0, t0, cfg, t_dtype)
@@ -487,11 +556,11 @@ def integrate_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig):
     sign0 = jnp.sign(ev0)
     at_event_already = ev0 == 0
 
-    zeros_coeff = jnp.zeros((5, n), dtype=y0.dtype).at[0].set(y0)
+    zeros_coeff = zeros_buffer(y0, 5)
     zero_t = jnp.zeros((), dtype=t_dtype)
     carry = _Carry(
         y1=y0, f1=f0, t0=t0, t1=t0, dt=dt0, coeff=zeros_coeff,
-        i_out=jnp.int32(0), out=jnp.zeros((1, n), dtype=y0.dtype),
+        i_out=jnp.int32(0), out=zeros_buffer(y0, 1, set0=False),
         step_idx=step_idx, jump_idx=jump_idx,
         nfe=jnp.int32(nfe0), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
