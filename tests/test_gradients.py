@@ -43,90 +43,151 @@ def _fd_grad(fn, x, eps=1e-6):
     return g
 
 
+# Reference-rigor FD gradchecks: finite differences perturb the DISCRETE
+# solver map, so the differentiable path under test must be the same
+# discrete map.  For adaptive methods that map is the replayed step
+# sequence (discretise-then-optimise, the reference's autograd-through-
+# the-solver semantics, gradient_tests.py:13-32) with the accepted-step
+# boundaries FROZEN from one recording pass: re-recording per FD
+# perturbation would flip accept/reject decisions and add O(tol/eps)
+# noise that has nothing to do with gradient correctness.  Fixed/implicit
+# scans already backprop their discrete map natively.  The continuous
+# adjoint (the default gradient path) is validated separately in
+# test_adjoint_vs_direct and test_adjoint_vs_replay.
+
+# Per-method budgets: low-order methods take tens of thousands of steps at
+# 1e-9 (infeasible replay scans); the frozen-boundary comparison is
+# budget-independent, so run them at a cheaper tolerance.
+_ADAPTIVE_GRADCHECK_TOL = {
+    'bosh3': dict(rtol=1e-6, atol=1e-8),
+    'fehlberg2': dict(rtol=1e-6, atol=1e-8),
+    'adaptive_heun': dict(rtol=1e-6, atol=1e-8),
+    'kvaerno3': dict(rtol=1e-7, atol=1e-9),
+}
+
+
+def _frozen_replay_loss(f, y0, t_points, method, project):
+    """Build a differentiable loss through the frozen-boundary replayed
+    discrete solve: loss(y0_, t_) -> scalar."""
+    from torchdiffeq_tpu.misc import check_inputs
+    from torchdiffeq_tpu.odeint import _adaptive_config
+    from torchdiffeq_tpu.solvers import SOLVERS, replay
+
+    tol = _ADAPTIVE_GRADCHECK_TOL.get(method, dict(rtol=1e-9, atol=1e-11))
+    prob = check_inputs(f, y0, t_points, tol['rtol'], tol['atol'], method,
+                        None, None, SOLVERS)
+    cfg = _adaptive_config(prob, SOLVERS[prob.method]['tableau'])
+
+    # one concrete recording pass; trim the buffer to the exact count
+    cap = 1 << 16
+    times, count, stats = jax.jit(
+        lambda: replay.record_segments(replay._tangent_free(prob.func),
+                                       prob.y0, prob.t, cfg, cap))()
+    assert int(stats.error_code) == 0, int(stats.error_code)
+    times = jnp.asarray(np.asarray(times)[:int(count) + 1])
+    count = jnp.int32(int(count))
+
+    def loss(y0_, t_):
+        prob_ = check_inputs(f, y0_, t_, tol['rtol'], tol['atol'], method,
+                             None, None, SOLVERS)
+        out = replay.replay_integrate(prob_.func, prob_.y0, prob_.t, cfg,
+                                      times, count)
+        return project(out)
+
+    return loss
+
+
 @pytest.mark.parametrize('method', GRAD_METHODS)
 def test_gradcheck_y0(method):
-    """d(sum y(T))/dy0 matches central finite differences."""
+    """d(sum y(T))/dy0 matches central finite differences, at a uniform
+    2e-3 slack for every method (reference gradient_tests.py:13-32)."""
     f, y0, t_points, sol = construct_problem(ode='linear', npts=3)
-    kwargs = {}
-    # num_steps (not step_size): the losses below are jitted — the FD loop
-    # re-executes the compiled solve instead of eager op-by-op stepping
-    # (the implicit methods' masked Broyden iterations are ~100x slower
-    # eager) — and jit lifts the closed-over t to a tracer, which
-    # step_size rejects (static grid shape).
-    n_grid = int(round(float(t_points[-1] - t_points[0]) / 0.1))
-    if method in ('euler', 'midpoint', 'heun2', 'implicit_euler',
-                  'implicit_midpoint'):
-        kwargs = dict(options=dict(num_steps=n_grid))
-    if method in ('explicit_adams', 'implicit_adams', 'fixed_adams'):
-        # order-12 AB is unstable on this problem at h=0.1 (tiny stability
-        # region — the reference behaves identically); cap the order.
-        kwargs = dict(options=dict(num_steps=n_grid, max_order=4))
-    tol = dict(rtol=1e-9, atol=1e-11) if method in ADAPTIVE_METHODS else {}
-    if method == 'kvaerno3':
-        # 3rd order: 1e-9 needs thousands of Newton-stage steps; test at a
-        # budget where the run stays cheap (FD slack widened to match)
-        tol = dict(rtol=1e-7, atol=1e-9)
-    if method == 'dopri8':
-        # dopri8 takes very few (8th-order) steps, so the O(h^5) quartic
-        # dense output dominates the discrete solution error: FD (which
-        # differentiates the discrete map, interp error included) then
-        # disagrees with the continuous adjoint at the interp-error level.
-        # Capping the step size shrinks the interp error out of the
-        # comparison without changing the gradient path under test.
-        tol = dict(rtol=1e-10, atol=1e-12)
-        kwargs = dict(options=dict(max_step=0.1))
+    project = lambda ys: jnp.sum(ys[-1] * jnp.arange(1.0, 1.0 + ys.shape[1]))
 
-    @jax.jit
-    def loss(y0_):
-        ys = tde.odeint(f, y0_, t_points, method=method, **tol, **kwargs)
-        return jnp.sum(ys[-1] * jnp.arange(1.0, 1.0 + ys.shape[1]))
+    if method in ADAPTIVE_METHODS:
+        loss2 = _frozen_replay_loss(f, y0, t_points, method, project)
+        loss = jax.jit(lambda y0_: loss2(y0_, t_points))
+    else:
+        kwargs = {}
+        # num_steps (not step_size): the losses are jitted — the FD loop
+        # re-executes the compiled solve instead of eager op-by-op stepping
+        # (the implicit methods' masked Broyden iterations are ~100x slower
+        # eager) — and jit lifts the closed-over t to a tracer, which
+        # step_size rejects (static grid shape).
+        n_grid = int(round(float(t_points[-1] - t_points[0]) / 0.1))
+        if method in ('euler', 'midpoint', 'heun2', 'implicit_euler',
+                      'implicit_midpoint'):
+            kwargs = dict(options=dict(num_steps=n_grid))
+        if method in ('explicit_adams', 'implicit_adams', 'fixed_adams'):
+            # order-12 AB is unstable on this problem at h=0.1 (tiny
+            # stability region — the reference behaves identically).
+            kwargs = dict(options=dict(num_steps=n_grid, max_order=4))
+
+        @jax.jit
+        def loss(y0_):
+            return project(tde.odeint(f, y0_, t_points, method=method,
+                                      **kwargs))
 
     g = np.asarray(jax.jit(jax.grad(loss))(y0))
     g_fd = _fd_grad(loss, y0)
-    # Low-order adaptive methods: FD-of-the-discrete-solve is noisy at the
-    # level of (tolerance / fd_eps) because the accepted-step sequence
-    # changes discontinuously under perturbation, so the comparison against
-    # the continuous-adjoint gradient plateaus around 1e-3.
-    rtol = (2e-2 if method in ('bosh3', 'adaptive_heun', 'fehlberg2',
-                               'kvaerno3') else 2e-4)
-    np.testing.assert_allclose(g, g_fd, rtol=rtol, atol=1e-6,
+    np.testing.assert_allclose(g, g_fd, rtol=2e-3, atol=1e-7,
                                err_msg=f"method={method}")
 
 
 @pytest.mark.parametrize('method', GRAD_METHODS)
 def test_gradcheck_t(method):
     """Gradient wrt the output times matches finite differences, for every
-    method (reference gradchecks (y0, t) for all methods,
-    gradient_tests.py:13-32).  Fixed-grid methods step on the output grid
-    itself, so t-grads flow through the step sizes; adaptive methods get
-    t-grads from the continuous adjoint."""
+    method at a uniform 2e-3 slack (reference gradchecks (y0, t) for all
+    methods, gradient_tests.py:13-32).  Fixed-grid methods step on the
+    output grid itself, so t-grads flow through the step sizes; adaptive
+    methods differentiate the frozen-boundary replayed map (emission
+    through the interpolant included, exactly what FD perturbs)."""
     f, y0, t_points, sol = construct_problem(ode='sine', npts=4)
-    kwargs = {}
-    if method in ('explicit_adams', 'implicit_adams', 'fixed_adams'):
-        kwargs = dict(options=dict(max_order=4))
-    tol = dict(rtol=1e-10, atol=1e-12) if method in ADAPTIVE_METHODS else {}
-    if method == 'kvaerno3':
-        tol = dict(rtol=1e-7, atol=1e-9)  # see test_gradcheck_y0
-    if method == 'dopri8':
-        kwargs = dict(options=dict(max_step=0.1))  # see test_gradcheck_y0
+    project = lambda ys: jnp.sum(ys ** 2)
 
-    @jax.jit
-    def loss(t_):
-        ys = tde.odeint(f, y0, t_, method=method, **tol, **kwargs)
-        return jnp.sum(ys ** 2)
+    if method in ADAPTIVE_METHODS:
+        loss2 = _frozen_replay_loss(f, y0, t_points, method, project)
+        loss = jax.jit(lambda t_: loss2(y0, t_))
+    else:
+        kwargs = {}
+        if method in ('explicit_adams', 'implicit_adams', 'fixed_adams'):
+            kwargs = dict(options=dict(max_order=4))
+
+        @jax.jit
+        def loss(t_):
+            return project(tde.odeint(f, y0, t_, method=method, **kwargs))
 
     g = np.asarray(jax.jit(jax.grad(loss))(t_points))
     g_fd = _fd_grad(loss, t_points, eps=1e-6)
-    # kvaerno5: the cubic-Hermite dense output (4th order) caps interpolated-
-    # output accuracy below the 5th-order solution; FD differentiates that
-    # interp error, the adjoint doesn't — observed mismatch ~1.6e-4.
-    # Low-order adaptive methods plateau near 1e-3..5e-3: central FD of the
-    # discrete solve is noisy at (tolerance/fd_eps) because the accepted-
-    # step sequence changes discontinuously under perturbation (observed
-    # bosh3 mismatch 5.3e-3, sensitive to op reassociation under jit).
-    rtol = (1e-2 if method in ('bosh3', 'adaptive_heun', 'fehlberg2',
-                               'kvaerno3', 'kvaerno5') else 1e-4)
-    np.testing.assert_allclose(g, g_fd, rtol=rtol, atol=1e-6,
+    # atol scaled to the gradient magnitude: central FD of a loss of size L
+    # carries ~L*eps_f64/fd_eps = 1e-10*L absolute noise, which swamps tiny
+    # entries when other entries (hence L) are ~1e7 (the 'sine' problem's
+    # growing solution).  This is FD conditioning, not gradient error.
+    atol = max(1e-7, 1e-8 * float(np.abs(g_fd).max()))
+    np.testing.assert_allclose(g, g_fd, rtol=2e-3, atol=atol,
+                               err_msg=f"method={method}")
+
+
+@pytest.mark.parametrize('method', sorted(set(ADAPTIVE_METHODS)))
+def test_adjoint_vs_replay(method):
+    """The continuous adjoint (default gradient path) agrees with the exact
+    discrete replay gradients, per adaptive method.  The gap IS the
+    continuous-vs-discrete difference, bounded by the integration
+    tolerance (hence the order-dependent budgets: low-order methods run at
+    the cheaper tolerance their step counts allow)."""
+    f, y0, t_points, sol = construct_problem(ode='linear', npts=3)
+    tol = _ADAPTIVE_GRADCHECK_TOL.get(method, dict(rtol=1e-9, atol=1e-11))
+
+    def loss(y0_, opts):
+        ys = tde.odeint(f, y0_, t_points, method=method, **tol, options=opts)
+        return jnp.sum(ys[-1] * jnp.arange(1.0, 1.0 + ys.shape[1]))
+
+    g_adj = np.asarray(jax.jit(jax.grad(lambda y: loss(y, None)))(y0))
+    g_rep = np.asarray(jax.jit(jax.grad(
+        lambda y: loss(y, dict(replay_grad=True, max_segments=16384))))(y0))
+    rtol = {'bosh3': 1e-3, 'adaptive_heun': 1e-3, 'fehlberg2': 1e-3,
+            'kvaerno3': 5e-3}.get(method, 1e-5)
+    np.testing.assert_allclose(g_adj, g_rep, rtol=rtol, atol=1e-8,
                                err_msg=f"method={method}")
 
 
