@@ -94,6 +94,34 @@ def test_error_dtype_reduces_bf16_churn():
         (int(st_mixed.n_steps), int(st_plain.n_steps))
 
 
+def test_bf16_interpolated_outputs_accurate():
+    """Interpolated (non-endpoint) outputs of a bfloat16 solve carry only
+    step-rounding-level error (~1-2%), not the ~12-21% the y-form quartic
+    fit's O(|y|) cancellation produced in bf16 (regression: the fit now
+    runs in f32 increment form for sub-f32 leaves, ops/interp.py
+    `interp_fit_step`)."""
+    f = lambda t, y: -y
+    y0 = jnp.array([1.0], jnp.bfloat16)
+    t = jnp.linspace(0., 2., 9, dtype=jnp.float32)
+    for opts in (None, dict(error_dtype=jnp.float32)):
+        ys = tde.odeint(f, y0, t, rtol=1e-3, atol=1e-5, options=opts)
+        assert ys.dtype == jnp.bfloat16
+        rel = np.abs(np.asarray(ys[:, 0], np.float64)
+                     / np.exp(-np.asarray(t, np.float64)) - 1).max()
+        assert rel < 0.03, rel
+
+
+def test_bf16_event_time_accurate():
+    """Event bisection on the dense interpolant stays accurate for bf16
+    state (the interpolant is f32; y_event is cast back to bf16)."""
+    f = lambda t, y: -y
+    ev_t, y_ev = tde.odeint_event(
+        f, jnp.array([1.0], jnp.bfloat16), jnp.array(0., jnp.float32),
+        event_fn=lambda t, y: y[0] - 0.5, rtol=1e-3, atol=1e-5)
+    assert y_ev.dtype == jnp.bfloat16
+    assert abs(float(ev_t) - np.log(2)) < 0.02
+
+
 def test_error_dtype_noop_on_f32():
     """error_dtype=f32 on f32 state changes nothing (the casts are
     identities): identical step counts and trajectories."""

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..misc import Perturb
 from ..ops import doubleword as dw
-from ..ops.interp import interp_fit, interp_evaluate
+from ..ops.interp import interp_fit_step, interp_evaluate, coeff_dtype
 from ..ops.rk_step import runge_kutta_step, weighted_sum
 from ..ops.step_control import (select_initial_step, compute_error_ratio,
                                 optimal_step_size, optimal_step_size_pi,
@@ -149,10 +149,12 @@ def _prep_tvals(tvals, t0, t_dtype):
     return tvals, idx
 
 
-def _interp_fit_step(y0, y1, k, dt, tableau):
-    """Quartic fit from the stage slopes (reference rk_common.py:363-369)."""
-    y_mid = weighted_sum(tableau.c_mid, list(k), dt, base=y0)
-    return interp_fit(y0, y1, y_mid, k[0], k[-1], dt)
+def _coeff_buffer(y0, rows):
+    """Zero dense-output coefficient buffer: per-leaf ``(rows, *shape)``
+    in `coeff_dtype` (f32 for bfloat16/float16 leaves — the fit runs and
+    stores in f32 there, see ops/interp.py `interp_fit_step`)."""
+    return tmap(lambda l: jnp.zeros((rows,) + jnp.shape(l),
+                                    coeff_dtype(l.dtype)), y0)
 
 
 def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
@@ -286,7 +288,7 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
     if cfg.step_to_end:
         coeff = c.coeff
     else:
-        coeff = twhere(accept, _interp_fit_step(y0, y1_prejump, k, dt, tab),
+        coeff = twhere(accept, interp_fit_step(y0, y1_prejump, k, dt, tab),
                        c.coeff)
 
     cb_acc = getattr(func, 'callback_accept_step', None)
@@ -400,7 +402,7 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
 
     out = zeros_buffer(y0, T)
     # one dead row in step_to_end mode (the interpolant is never fit/read)
-    zeros_coeff = zeros_buffer(y0, 1 if cfg.step_to_end else 5)
+    zeros_coeff = _coeff_buffer(y0, 1 if cfg.step_to_end else 5)
     zero_t = jnp.zeros((), dtype=t_dtype)
     carry = _Carry(
         y1=y0, f1=f0, t0=ts[0], t1=ts[0], dt=dt0, coeff=zeros_coeff,
@@ -444,7 +446,10 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
                                         c2.t0_lo, c2.t1_lo)
             else:
                 vals = _interp_eval_vec(c2.coeff, c2.t0, c2.t1, ts)
-            out = tmap(lambda v, o: jnp.where(bmask(emit_mask, o), v, o),
+            # cast back to the state dtype (interp coeffs/values are f32
+            # for sub-f32 states; a no-op otherwise)
+            out = tmap(lambda v, o: jnp.where(bmask(emit_mask, o),
+                                              v.astype(o.dtype), o),
                        vals, c2.out)
             emitted_any = jnp.any(emit_mask)
             return c2._replace(
@@ -470,7 +475,8 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
                                           c.t0_lo, c.t1_lo))
             else:
                 y = interp_evaluate(c.coeff, c.t0, c.t1, next_t)
-            return c._replace(out=tmap(lambda o, yl: o.at[c.i_out].set(yl),
+            return c._replace(out=tmap(lambda o, yl:
+                                       o.at[c.i_out].set(yl.astype(o.dtype)),
                                        c.out, y),
                               i_out=c.i_out + 1,
                               steps_in_interval=jnp.int32(0))
@@ -556,7 +562,7 @@ def integrate_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig):
     sign0 = jnp.sign(ev0)
     at_event_already = ev0 == 0
 
-    zeros_coeff = zeros_buffer(y0, 5)
+    zeros_coeff = _coeff_buffer(y0, 5)
     zero_t = jnp.zeros((), dtype=t_dtype)
     carry = _Carry(
         y1=y0, f1=f0, t0=t0, t1=t0, dt=dt0, coeff=zeros_coeff,
@@ -577,7 +583,12 @@ def integrate_until_event(func, y0, t0, event_fn, cfg: AdaptiveConfig):
 
     carry = jax.lax.while_loop(cond, body, carry)
 
-    interp_fn = lambda t: interp_evaluate(carry.coeff, carry.t0, carry.t1, t)
+    def interp_fn(t):
+        # interp coeffs/values are f32 for sub-f32 states: cast back so
+        # event bisection and `y_event` keep the state dtype (lax.cond
+        # branches must agree; a no-op for f32/f64 states)
+        y = interp_evaluate(carry.coeff, carry.t0, carry.t1, t)
+        return tmap(lambda v, l: v.astype(l.dtype), y, y0)
 
     def _found():
         return find_event(interp_fn, sign0, carry.t0, carry.t1, event_fn,
