@@ -11,11 +11,16 @@ Both frameworks consume THE SAME weights, initial states, and targets
 median over N_GROUPS groups of N_TIMED steps after a compile/warmup step.
 
 Timed steps are chained inside ONE jit call per group (a `lax.scan` over
-training steps — the standard JAX training-loop idiom).  This measures
-device throughput rather than this container's TPU-tunnel dispatch floor
-(~3 ms per jit call, larger than the entire forward solve; measured and
-reported as `dispatch_floor_ms`, with per-call step time kept in
-`step_seconds_percall` for comparison).
+training steps — the standard JAX training-loop idiom), and the headline
+`step_seconds` is the SLOPE between a 10-step and a 40-step group:
+t(n) = round_trip + n*step_seconds.  Two lengths are required because this
+container reaches the TPU through a tunnel whose host round trip
+(~3-30 ms, varies with congestion; reported as `round_trip_ms`) exceeds
+the device time of the whole group, and `jax.block_until_ready` does not
+reliably wait under the axon backend — every timing here ends in an
+explicit host fetch of a scalar.  `step_seconds_amortized10` keeps the
+round-2 protocol number (group of 10, fetch included) for comparability,
+and `step_seconds_percall` the fully unamortized per-dispatch time.
 
 A "VF eval" is one evaluation of the vector field for one batch element, so
 a batched call counts `batch` evals (both frameworks batch identically).
@@ -40,6 +45,7 @@ HIDDEN = 64
 T_POINTS = 10
 RTOL, ATOL = 1e-7, 1e-9
 N_TIMED = 10
+N_TIMED_LONG = 40
 N_GROUPS = 5
 
 
@@ -86,15 +92,21 @@ def bench_jax(shared):
                                         params, grads)
         return loss, params
 
-    @jax.jit
-    def train_many(params):
-        """N_TIMED chained training steps inside one compiled program."""
-        def body(p, _):
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            p = jax.tree_util.tree_map(lambda a, g: a - 1e-3 * g, p, grads)
-            return p, loss
-        params, losses = jax.lax.scan(body, params, None, length=N_TIMED)
-        return losses[-1], params
+    def make_train_many(n):
+        @jax.jit
+        def train_many(params):
+            """`n` chained training steps inside one compiled program."""
+            def body(p, _):
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                p = jax.tree_util.tree_map(lambda a, g: a - 1e-3 * g, p,
+                                           grads)
+                return p, loss
+            params, losses = jax.lax.scan(body, params, None, length=n)
+            return losses[-1], params
+        return train_many
+
+    train_many = make_train_many(N_TIMED)
+    train_many_long = make_train_many(N_TIMED_LONG)
 
     # Exact VF-call counts (forward / forward+adjoint backward).  Python
     # counters don't survive closure_convert (it replays a jaxpr), so count
@@ -131,31 +143,44 @@ def bench_jax(shared):
     jax.effects_barrier()  # drain pending debug callbacks before reading
     nfe_per_step = count[0]
 
-    # warm up (compile both programs)
+    # warm up (compile all programs; end in a host fetch — under the axon
+    # tunnel block_until_ready does not reliably wait, so every timing
+    # below syncs by fetching the loss scalar)
     loss, params2 = train_step(params)
-    jax.block_until_ready((loss, params2))
+    float(loss)
     loss, params2 = train_many(params)
-    jax.block_until_ready((loss, params2))
+    float(loss)
+    loss, params2 = train_many_long(params)
+    float(loss)
 
-    # dispatch floor of a single jit call through the TPU tunnel (device
-    # work is negligible): context for the per-call timing below.
-    trivial = jax.jit(lambda p: p[0]['b'] * 2.0)
-    jax.block_until_ready(trivial(params))
+    # host round trip of a single trivial jit call through the TPU tunnel
+    # (device work negligible): context for the per-call timing below.
+    trivial = jax.jit(lambda p: jnp.sum(p[0]['b'] * 2.0))
+    float(trivial(params))
     floor_times = []
     for _ in range(N_GROUPS):
         t0 = time.perf_counter()
-        jax.block_until_ready(trivial(params))
+        float(trivial(params))
         floor_times.append(time.perf_counter() - t0)
     dispatch_floor = statistics.median(floor_times)
 
-    group_times = []
-    p = params
-    for _ in range(N_GROUPS):
-        t0 = time.perf_counter()
-        loss, p = train_many(p)
-        jax.block_until_ready((loss, p))
-        group_times.append((time.perf_counter() - t0) / N_TIMED)
-    dt = statistics.median(group_times)
+    def time_group(fn, n):
+        """Median wall time of one `fn` group (n chained steps), params
+        re-threaded so successive groups keep training."""
+        times = []
+        p = params
+        for _ in range(N_GROUPS):
+            t0 = time.perf_counter()
+            loss, p = fn(p)
+            float(loss)  # host fetch = real completion barrier
+            times.append(time.perf_counter() - t0)
+        return statistics.median(times), loss
+
+    t_short, _ = time_group(train_many, N_TIMED)
+    t_long, loss = time_group(train_many_long, N_TIMED_LONG)
+    # slope removes the fixed host round trip from the device-time estimate
+    dt = (t_long - t_short) / (N_TIMED_LONG - N_TIMED)
+    dt_amortized10 = t_short / N_TIMED
 
     percall_times = []
     p = params
@@ -163,15 +188,15 @@ def bench_jax(shared):
         t0 = time.perf_counter()
         for _ in range(N_TIMED):
             loss_pc, p = train_step(p)
-        jax.block_until_ready((loss_pc, p))
+        float(loss_pc)
         percall_times.append((time.perf_counter() - t0) / N_TIMED)
     dt_percall = statistics.median(percall_times)
 
     evals_per_sec = nfe_per_step * BATCH / dt
     return dict(step_seconds=dt,
-                step_seconds_all=[round(g, 6) for g in group_times],
+                step_seconds_amortized10=round(dt_amortized10, 6),
                 step_seconds_percall=round(dt_percall, 6),
-                dispatch_floor_ms=round(dispatch_floor * 1e3, 3),
+                round_trip_ms=round(dispatch_floor * 1e3, 3),
                 nfe=nfe_per_step, nfe_forward=nfe_fwd,
                 nfe_backward=nfe_per_step - nfe_fwd,
                 evals_per_sec=evals_per_sec, loss=float(loss),
@@ -311,9 +336,11 @@ def main():
 
     print(json.dumps({
         "metric": ("VF evals/sec, batched spiral neural-ODE training step "
-                   "(dopri5 fwd + adjoint bwd, rtol=1e-7, batch %d, %d "
-                   "steps scanned per dispatch) on %s vs torchdiffeq CPU"
-                   % (BATCH, N_TIMED, jax_res['backend'])),
+                   "(dopri5 fwd + adjoint bwd, rtol=1e-7, batch %d; device "
+                   "time via %d- vs %d-step scanned-group slope, tunnel "
+                   "round trip excluded and reported) on %s vs torchdiffeq "
+                   "CPU" % (BATCH, N_TIMED, N_TIMED_LONG,
+                            jax_res['backend'])),
         "value": round(jax_res['evals_per_sec'], 1),
         "unit": "vf_evals_per_sec",
         "vs_baseline": (round(vs_baseline, 3)
