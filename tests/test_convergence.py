@@ -1,36 +1,108 @@
-"""Convergence-order property tests (an opportunity the reference lacks,
-SURVEY.md §4): halving the step size must reduce the error by ~2^order."""
+"""Empirical convergence-order verification for every solver family.
+
+The reference has no convergence-order tests (its conformance suite checks
+absolute accuracy budgets only, reference tests/odeint_tests.py:15-58); this
+tier pins each method's theoretical order p by measuring the endpoint error
+at step h and h/2 on a smooth nonlinear problem and asserting
+log2(e(h)/e(h/2)) ~ p.  Catches silently-wrong tableau coefficients and
+interpolation-order regressions that absolute budgets can miss.
+
+Problem: y' = y*cos(t), y(0) = 1  ->  y(t) = exp(sin(t)), smooth and
+nonlinear, solved on [0, 1] in f64.
+
+Adaptive methods are forced onto a fixed grid with
+first_step=min_step=max_step=h (the driver accepts unconditionally at
+dt <= min_step, solvers/adaptive_rk.py:264); spans are integer multiples
+of h, so output times land on step boundaries and the dense-output
+evaluation reduces to the step endpoint (no interpolation-order cap).
+"""
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 import torchdiffeq_tpu as tde
 
-# y' = -y + sin(t), y(0) = 1; exact: y = (sin t - cos t)/2 + 1.5 e^{-t}
-def f(t, y):
-    return -y + jnp.sin(t) * jnp.ones_like(y)
+
+def field(t, y):
+    return y * jnp.cos(t)
 
 
 def exact(t):
-    return (np.sin(t) - np.cos(t)) / 2 + 1.5 * np.exp(-t)
+    return np.exp(np.sin(t))
 
 
-ORDERS = {
-    'euler': 1, 'midpoint': 2, 'heun2': 2, 'heun3': 3, 'rk4': 4,
-    'implicit_euler': 1, 'implicit_midpoint': 2, 'trapezoid': 2,
-    'radauIIA3': 3, 'gl4': 4, 'sdirk2': 2, 'trbdf2': 2,
-}
+T1 = 1.0
 
 
-@pytest.mark.parametrize('method,order', sorted(ORDERS.items()))
-def test_convergence_order(method, order):
-    y0 = jnp.array([1.0])
-    t = jnp.array([0.0, 2.0])
+def endpoint_error(method, h, options):
+    t = jnp.array([0.0, T1], jnp.float64)
+    y0 = jnp.array([1.0], jnp.float64)
+    ys = tde.odeint(field, y0, t, method=method, options=options)
+    return abs(float(ys[-1, 0]) - exact(T1))
 
+
+def measured_order(method, h, fixed):
     errs = []
-    for h in (0.1, 0.05):
-        ys = tde.odeint(f, y0, t, method=method,
-                        options=dict(step_size=h))
-        errs.append(abs(float(ys[-1, 0]) - exact(2.0)))
-    rate = np.log2(errs[0] / errs[1])
-    assert rate > order - 0.35, (method, errs, rate)
+    for hh in (h, h / 2):
+        if fixed == 'fixed':
+            opts = dict(step_size=hh)
+        elif fixed == 'adams':
+            opts = dict(step_size=hh, max_order=4)
+        else:  # adaptive forced onto a fixed grid
+            opts = dict(first_step=hh, min_step=hh, max_step=hh)
+        errs.append(endpoint_error(method, hh, opts))
+    # guard against hitting the f64 rounding floor
+    assert errs[1] > 1e-14, (method, errs)
+    return np.log2(errs[0] / errs[1]), errs
+
+
+# (method, theoretical order, h, grid mode).  h chosen per-order so both
+# errors sit in the ~1e-12..1e-3 band of clean asymptotics.
+CASES = [
+    ('euler', 1, 1 / 64, 'fixed'),
+    ('midpoint', 2, 1 / 32, 'fixed'),
+    ('heun2', 2, 1 / 32, 'fixed'),
+    ('heun3', 3, 1 / 16, 'fixed'),
+    ('rk4', 4, 1 / 8, 'fixed'),
+    ('implicit_euler', 1, 1 / 64, 'fixed'),
+    ('implicit_midpoint', 2, 1 / 32, 'fixed'),
+    ('trapezoid', 2, 1 / 32, 'fixed'),
+    ('sdirk2', 2, 1 / 32, 'fixed'),
+    ('trbdf2', 2, 1 / 32, 'fixed'),
+    ('radauIIA3', 3, 1 / 16, 'fixed'),
+    ('gl4', 4, 1 / 8, 'fixed'),
+    # radauIIA5/gl6 need large h: their Broyden stage solves have a
+    # ~1e-8-relative convergence tolerance, so smaller h pushes the
+    # endpoint error under the stage-solve floor
+    ('radauIIA5', 5, 1 / 2, 'fixed'),
+    ('gl6', 6, 1.0, 'fixed'),
+    # the reference's explicit_adams (AB predictor, order ramp to
+    # max_order=4) measures order ~3.0 on this problem — our build
+    # reproduces its endpoint errors bit-for-bit (6.84e-5 at h=1/32),
+    # so 3 is the parity expectation, not 4
+    ('explicit_adams', 3, 1 / 32, 'adams'),
+    ('implicit_adams', 4, 1 / 32, 'adams'),
+    ('fehlberg2', 2, 1 / 32, 'adaptive'),
+    ('adaptive_heun', 2, 1 / 32, 'adaptive'),
+    ('bosh3', 3, 1 / 16, 'adaptive'),
+    ('dopri5', 5, 1 / 8, 'adaptive'),
+    # the reference's tsit5 measures order ~3.9 on this problem (its
+    # propagated combination carries a 4th-order leading error term);
+    # our tableau reproduces its endpoint errors bit-for-bit
+    # (1.69e-7 at h=1/8), so 4 is the parity expectation
+    ('tsit5', 4, 1 / 8, 'adaptive'),
+    ('dopri8', 8, 1 / 4, 'adaptive'),
+    ('radau5a', 5, 1 / 8, 'adaptive'),
+    ('kvaerno3', 3, 1 / 16, 'adaptive'),
+    ('kvaerno5', 5, 1 / 8, 'adaptive'),
+]
+
+
+@pytest.mark.parametrize("method,p,h,mode", CASES,
+                         ids=[c[0] for c in CASES])
+def test_convergence_order(method, p, h, mode):
+    order, errs = measured_order(method, h, mode)
+    # superconvergence above p is fine (e.g. symmetric methods on this
+    # problem); below p-0.4 means wrong coefficients or a lower-order
+    # code path leaking in
+    assert order > p - 0.4, (method, order, errs)
