@@ -4,8 +4,20 @@ Run on the TPU (no platform pinning):  python benchmarks/sweep.py
 Writes benchmarks/PERF.md with wall-clock / throughput across regimes:
 forward solves vs batch, MXU-heavy fields, gradient paths (continuous
 adjoint vs replay vs fixed-grid backprop), and the Pallas fused kernel.
+
+Measurement methodology (see PERF.md's own note): this container reaches
+the TPU through a tunnel whose host round trip (~3-30 ms, varies with
+congestion) exceeds the device time of most of these programs, and
+`jax.block_until_ready` does not reliably wait under the axon backend.
+Every timing here therefore (a) ends in an explicit host fetch of a
+scalar, and (b) is taken as the SLOPE between two chained-iteration
+counts — t(n) = round_trip + n*per_iter — so the round trip drops out.
+Chained iterations are made data-dependent through a numerically inert
+`1e-30 * acc` perturbation (underflows to zero in f32) so XLA cannot
+reorder or elide them.
 """
 import os
+import statistics
 import sys
 import time
 
@@ -21,13 +33,31 @@ from torchdiffeq_tpu.adjoint import odeint_adjoint
 from torchdiffeq_tpu.models import init_mlp, mlp_apply
 
 
-def timeit(fn, *args, n=10):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+def chain(single, n):
+    """Jitted nullary fn running `n` data-dependent iterations of
+    ``single(eps: f32 scalar) -> f32 scalar``."""
+    @jax.jit
+    def fn():
+        def body(acc, _):
+            return acc + single(1e-30 * acc), ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0.), length=n)
+        return acc
+    return fn
+
+
+def slope_time(single, n1=8, n2=32, reps=3):
+    """Per-iteration device time of `single` via the two-length slope."""
+    t_at = {}
+    for n in (n1, n2):
+        fn = chain(single, n)
+        float(fn())  # compile + warm; host fetch = real completion
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn())
+            ts.append(time.perf_counter() - t0)
+        t_at[n] = statistics.median(ts)
+    return (t_at[n2] - t_at[n1]) / (n2 - n1)
 
 
 def _count_nfe_train(f, y0, t, rtol, atol, params, tgt, adj_opts):
@@ -54,29 +84,47 @@ def _count_nfe_train(f, y0, t, rtol, atol, params, tgt, adj_opts):
     return count[0]
 
 
-PER_LANE_SECTION = """\
-## Fused per-lane adaptive dopri5 (Pallas), public API
+METHODOLOGY = """\
+## Measurement methodology
 
-`parallel.odeint_per_sample(..., options=dict(pallas=True))` vs the vmap
-path, heterogeneously-stiff scalar ODEs, 5 output times, measured with
-dispatch amortised (20 solves inside one jit; a single jit call through
-the axon tunnel has a ~3 ms floor that otherwise masks device time):
+This container reaches the TPU through a tunnel whose host round trip
+(~3-30 ms depending on congestion) exceeds the device time of most of
+these programs, and `jax.block_until_ready` does not reliably wait under
+the axon backend.  All wall-clock numbers below are therefore SLOPES
+between two chained-iteration counts inside one jit (t(n) = round_trip +
+n*per_iter), each run synced by a host fetch of a scalar — i.e. they are
+device throughput with the round trip removed.  The round-2 edition of
+this file timed single dispatches, which understated throughput by up to
+the full round trip per call; MFU numbers below supersede it.
+"""
 
-| batch | rtol | pallas (ms/solve) | vmap (ms/solve) | speedup |
+ROOFLINE_SECTION = """\
+### Roofline: the stage chain is already at the hardware ceiling
+
+Slope-timed isolated dopri5 stage chain (6 chained VF evals + stage
+combinations per step, `ops/rk_step.py`) for this field shape
+(B=4096, D=256, H=1024 tanh-MLP), reproduced by
+`python benchmarks/bench_fused_field.py`:
+
+| path | precision | ms/step | TFLOP/s | % of roof |
 |---|---|---|---|---|
-| 1024 | 1e-4 | 0.53 | 0.61 | 1.15x |
-| 8192 | 1e-4 | 0.53 | 0.61 | 1.15x |
-| 65536 | 1e-4 | 1.08 | 1.44 | 1.33x |
-| 8192 | 1e-7 | 0.68 | 0.87 | 1.27x |
+| stock XLA step | f32 (6-pass matmul) | 0.821 | 31.4 | 95% of the ~33 TF/s f32 roof |
+| fused Pallas step | f32 | 0.952 | 27.1 | 82% |
+| stock XLA step | bf16 | 0.133 | 194.2 | **98.6% of the 197 TF/s peak** |
+| fused Pallas step | bf16 | 0.141 | 183.0 | 92.9% |
 
-Values agree with `vmap(odeint)` to ~2e-6 and per-lane step counts to ±2.
-
-Correction vs the round-1 note: the previously-reported "3.7x over vmap"
-compared against a *linearly batch-scaled* vmap number; vmap wall time is
-dispatch-bound and nearly flat in batch size, so the honest on-device
-speedup is the 1.15-1.35x above.  The kernel additionally removes the
-per-call dispatch floor entirely when solves are already inside a larger
-jit region.
+* The f32 rows' MFU ceiling against the bf16 peak is ~16.6% BY
+  CONSTRUCTION (the MXU executes a full-f32 matmul as ~6 bf16 passes).
+* XLA fuses the bias/tanh epilogues and stage-sum updates into the
+  matmuls — the hypothesised per-stage HBM round trips of the round-2
+  roofline note do not survive fusion, which is why a hand-written
+  fused-stage Pallas kernel (benchmarks/fused_field.py) has no headroom
+  and loses a few percent at the tile boundaries.  Kept as a reproducible
+  negative result.
+* The gap between these step-kernel ceilings and the driver rows above is
+  the controller/interp/output machinery plus, for the training rows, the
+  adjoint's augmented VJP evals — i.e. the driver overhead is the
+  difference, not memory stalls inside the stage chain.
 """
 
 
@@ -88,6 +136,7 @@ def main():
         "unless noted.  VF evals/s counts one batched VF application as",
         "`batch` evals.",
         "",
+        METHODOLOGY,
     ]
 
     # --- forward solve vs batch (tiny spiral field) -----------------------
@@ -99,9 +148,13 @@ def main():
     t = jnp.linspace(0.0, 1.0, 10, dtype=jnp.float32)
     for B in [256, 4096, 65536]:
         y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 2), jnp.float32)
-        fwd = jax.jit(lambda y0: tde.odeint(field, y0, t, rtol=1e-7,
-                                            atol=1e-9, args=(params,)))
-        dt = timeit(fwd, y0, n=20)
+
+        def single(eps):
+            ys = tde.odeint(field, y0 + eps, t, rtol=1e-7, atol=1e-9,
+                            args=(params,))
+            return jnp.sum(ys[-1])
+
+        dt = slope_time(single)
         _, s = tde.odeint_with_stats(field, y0, t, rtol=1e-7, atol=1e-9,
                                      args=(params,))
         nfe = int(s.nfe)
@@ -132,10 +185,12 @@ def main():
         y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 256),
                                jnp.float32) * 0.1
         with jax.default_matmul_precision(prec):
-            fwd = jax.jit(lambda y0: tde.odeint(f3, y0, ts_, rtol=rtol,
-                                                atol=atol, args=(p3,),
-                                                options=opts))
-            dt = timeit(fwd, y0)
+            def single(eps):
+                ys = tde.odeint(f3, y0 + eps, ts_, rtol=rtol, atol=atol,
+                                args=(p3,), options=opts)
+                return jnp.sum(ys[-1])
+
+            dt = slope_time(single, n1=5, n2=20)
             _, s = tde.odeint_with_stats(f3, y0, ts_, rtol=rtol, atol=atol,
                                          args=(p3,), options=opts)
         flops = int(s.nfe) * B * 2 * (256 * 1024 * 2)
@@ -166,8 +221,13 @@ def main():
             return jnp.mean((ys[-1] - tgt[None]) ** 2)
 
         with jax.default_matmul_precision(prec):
-            g = jax.jit(jax.grad(loss3))
-            dt = timeit(g, p3, n=5)
+            def single(eps):
+                g = jax.grad(loss3)(jax.tree_util.tree_map(
+                    lambda a: a + eps.astype(a.dtype), p3))
+                return sum(jnp.sum(l.astype(jnp.float32))
+                           for l in jax.tree_util.tree_leaves(g))
+
+            dt = slope_time(single, n1=5, n2=20)
             # NFE: forward + backward, counted with a debug callback
             nfe = _count_nfe_train(f3, y0, t, rtol, atol, p3, tgt, adj_opts)
         # NOTE: the count runs on the host CPU, where bf16 matmul precision
@@ -183,26 +243,7 @@ def main():
         lines.append(f"| {B} | {prec} | {rtol:g} | {anorm} | {dt*1e3:.2f} "
                      f"| {tfs:.2f} | {tfs*1e12/PEAK_BF16*100:.1f}% |")
 
-    lines += ["", """\
-### Roofline: where the MFU ceiling actually is for this workload
-
-Per VF evaluation at batch 4096: 2 matmuls of 2*4096*256*1024 = 2.1 GFLOP
-each, and ~24 MB of HBM activation traffic (read y 4 MB, write/read the
-4096x1024 hidden 16 MB, write f 4 MB).
-
-* f32 rows: the MXU executes full-f32 matmuls as ~6 bf16 passes, so the
-  f32 matmul roof is ~197/6 = 33 TFLOP/s == 16.6% "MFU" against the bf16
-  peak BY CONSTRUCTION.  The measured 12.5 TFLOP/s is ~38% of that f32
-  roof; the rest is the stage-sum/error/controller vector work (~50 MB
-  HBM per step beyond activations) and the sequential dependency between
-  the 6 stage evaluations.
-* bf16 rows: one 2.1 GFLOP matmul takes ~11 us at peak but its 24 MB of
-  activation traffic takes ~29 us at the ~819 GB/s HBM roof — each VF
-  eval is MEMORY-bound, capping this field shape at ~25-40% MFU before
-  any solver overhead.  Raising arithmetic intensity (wider hidden dim,
-  or a fused stage-chain kernel that keeps activations and the k-buffer
-  in VMEM) is what moves this ceiling, not controller tweaks.
-"""]
+    lines += ["", ROOFLINE_SECTION]
 
     # --- mixed-precision error control (bf16 state) -------------------------
     lines += ["", "## Mixed-precision error control: bfloat16 state, "
@@ -231,10 +272,18 @@ each, and ~24 MB of HBM activation traffic (read y 4 MB, write/read the
             _, s_mx = jax.jit(
                 lambda: run(y0b.astype(jnp.bfloat16), p3h,
                             dict(error_dtype=jnp.float32)))()
-            w_mx = timeit(jax.jit(lambda y: run(y.astype(jnp.bfloat16), p3h,
-                                                dict(error_dtype=jnp.float32))[0]),
-                          y0b, n=5)
-            w_f32 = timeit(jax.jit(lambda y: run(y, p3, None)[0]), y0b, n=5)
+
+            def single_mx(eps):
+                ys, _ = run((y0b + eps).astype(jnp.bfloat16), p3h,
+                            dict(error_dtype=jnp.float32))
+                return jnp.sum(ys[-1].astype(jnp.float32))
+
+            def single_f32(eps):
+                ys, _ = run(y0b + eps, p3, None)
+                return jnp.sum(ys[-1])
+
+            w_mx = slope_time(single_mx, n1=5, n2=20)
+            w_f32 = slope_time(single_f32, n1=5, n2=20)
         lines.append(f"| {rtol:g} | {int(s_f32.n_steps)} | {int(s_bf.n_steps)}"
                      f" | {int(s_mx.n_steps)} | {w_mx*1e3:.2f} "
                      f"| {w_f32*1e3:.2f} |")
@@ -290,31 +339,54 @@ each, and ~24 MB of HBM activation traffic (read y 4 MB, write/read the
                        ("continuous adjoint, seminorm", loss_semi),
                        ("replay discrete grads (dopri5)", loss_replay),
                        ("scan backprop (rk4, h=0.1)", loss_rk4)]:
-        g = jax.jit(jax.grad(loss))
-        dt = timeit(g, params)
+        def single(eps, loss=loss):
+            g = jax.grad(loss)(jax.tree_util.tree_map(
+                lambda a: a + eps.astype(a.dtype), params))
+            return sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree_util.tree_leaves(g))
+
+        dt = slope_time(single)
         lines.append(f"| {name} | {dt*1e3:.2f} |")
 
     # --- pallas fused kernel ------------------------------------------------
-    lines += ["", "## Fused Pallas RK4 vs lax.scan (10k steps, (2,B) layout)",
-              "", "| batch | scan (ms) | pallas (ms) |", "|---|---|---|"]
+    lines += ["", "## Fused Pallas RK4 vs lax.scan (per 10k steps, (2,B) "
+              "layout)", "",
+              "| batch | scan (ms) | pallas (ms) |", "|---|---|---|"]
     from torchdiffeq_tpu.ops.pallas_kernels import (rk4_integrate,
                                                     _rk4_step_inline)
     A = jnp.array([[-0.1, 2.0], [-2.0, -0.1]], jnp.float32)
     fieldT = lambda tt, yy, A_: A_.T @ (yy ** 3)
-    STEPS, dt_step = 10000, 1e-4
+    dt_step = 1e-4
+
+    def steps_slope(run_n):
+        """Slope over total step count (10k vs 40k), per 10k steps."""
+        t_at = {}
+        for n in (10000, 40000):
+            fn = jax.jit(lambda n=n: run_n(n))
+            float(fn())
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fn())
+                ts.append(time.perf_counter() - t0)
+            t_at[n] = statistics.median(ts)
+        return (t_at[40000] - t_at[10000]) / 3.0  # per 10k steps
+
     for B in [1024, 8192]:
         y0T = jax.random.normal(jax.random.PRNGKey(1), (2, B), jnp.float32)
 
-        def scanv(y0T):
+        def scan_n(n):
             def body(y, i):
                 return _rk4_step_inline(fieldT, i.astype(jnp.float32) * dt_step,
                                         dt_step, y, (A,)), None
-            y, _ = jax.lax.scan(body, y0T, jnp.arange(STEPS))
-            return y
-        t_scan = timeit(jax.jit(scanv), y0T, n=5)
-        t_pal = timeit(jax.jit(lambda y: rk4_integrate(fieldT, y, 0.0,
-                                                       dt_step, STEPS, (A,))),
-                       y0T, n=5)
+            y, _ = jax.lax.scan(body, y0T, jnp.arange(n))
+            return jnp.sum(y)
+
+        def pallas_n(n):
+            return jnp.sum(rk4_integrate(fieldT, y0T, 0.0, dt_step, n, (A,)))
+
+        t_scan = steps_slope(scan_n)
+        t_pal = steps_slope(pallas_n)
         lines.append(f"| {B} | {t_scan*1e3:.2f} | {t_pal*1e3:.2f} |")
 
     # --- per-lane adaptive dopri5 (static section: measured with the
@@ -327,6 +399,33 @@ each, and ~24 MB of HBM activation traffic (read y 4 MB, write/read the
     with open(path, "w") as fh:
         fh.write(out)
     print(out)
+
+
+PER_LANE_SECTION = """\
+## Fused per-lane adaptive dopri5 (Pallas), public API
+
+`parallel.odeint_per_sample(..., options=dict(pallas=True))` vs the vmap
+path, heterogeneously-stiff scalar ODEs, 5 output times, measured with
+dispatch amortised (20 solves inside one jit; both columns share the same
+harness, so the relative speedup is round-trip-free even though these
+numbers predate the slope-timing methodology above):
+
+| batch | rtol | pallas (ms/solve) | vmap (ms/solve) | speedup |
+|---|---|---|---|---|
+| 1024 | 1e-4 | 0.53 | 0.61 | 1.15x |
+| 8192 | 1e-4 | 0.53 | 0.61 | 1.15x |
+| 65536 | 1e-4 | 1.08 | 1.44 | 1.33x |
+| 8192 | 1e-7 | 0.68 | 0.87 | 1.27x |
+
+Values agree with `vmap(odeint)` to ~2e-6 and per-lane step counts to ±2.
+
+Correction vs the round-1 note: the previously-reported "3.7x over vmap"
+compared against a *linearly batch-scaled* vmap number; vmap wall time is
+dispatch-bound and nearly flat in batch size, so the honest on-device
+speedup is the 1.15-1.35x above.  The kernel additionally removes the
+per-call dispatch floor entirely when solves are already inside a larger
+jit region.
+"""
 
 
 if __name__ == "__main__":
