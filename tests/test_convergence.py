@@ -91,6 +91,8 @@ CASES = [
     # our tableau reproduces its endpoint errors bit-for-bit
     # (1.69e-7 at h=1/8), so 4 is the parity expectation
     ('tsit5', 4, 1 / 8, 'adaptive'),
+    # corrected local-extrapolation variant: true 5th-order Tsitouras
+    ('tsit5_le', 5, 1 / 8, 'adaptive'),
     ('dopri8', 8, 1 / 4, 'adaptive'),
     ('radau5a', 5, 1 / 8, 'adaptive'),
     ('kvaerno3', 3, 1 / 16, 'adaptive'),
@@ -106,3 +108,15 @@ def test_convergence_order(method, p, h, mode):
     # problem); below p-0.4 means wrong coefficients or a lower-order
     # code path leaking in
     assert order > p - 0.4, (method, order, errs)
+
+
+def test_tsit5_le_tableau():
+    """tsit5_le's solution weights are c_sol - c_error to the last ulp
+    (same embedded pair, the 5th-order member propagated) and the tableau
+    is FSAL (6 effective evals/step)."""
+    from torchdiffeq_tpu.ops import tableaus as tb
+    le = np.append(tb.TSIT5.c_sol[:-1] - tb.TSIT5.c_error[:-1],
+                   tb.TSIT5.c_sol[-1] - tb.TSIT5.c_error[-1])
+    np.testing.assert_allclose(tb.TSIT5_LE.c_sol, le, rtol=0, atol=1e-15)
+    assert tb.TSIT5_LE.is_fsal and not tb.TSIT5.is_fsal
+    np.testing.assert_array_equal(tb.TSIT5_LE.c_error, tb.TSIT5.c_error)

@@ -22,7 +22,7 @@ from problems import (construct_problem, ADAPTIVE_METHODS, FIXED_METHODS,
 #  - adaptive: continuous adjoint at solver tolerance
 # Every SOLVERS key except scipy_solver (non-differentiable host bridge,
 # as in the reference), matching reference gradient_tests.py:13-32.
-GRAD_METHODS = ('dopri5', 'dopri8', 'tsit5', 'bosh3', 'fehlberg2',
+GRAD_METHODS = ('dopri5', 'dopri8', 'tsit5', 'tsit5_le', 'bosh3', 'fehlberg2',
                 'adaptive_heun', 'euler', 'midpoint', 'rk4', 'heun2',
                 'heun3', 'explicit_adams', 'implicit_adams', 'fixed_adams',
                 'implicit_euler', 'implicit_midpoint', 'trapezoid', 'gl4',

@@ -205,6 +205,25 @@ TSIT5 = _tab(
 )
 
 
+# Local-extrapolation Tsit5: propagate the true 5th-order Tsitouras
+# solution.  The reference's tsit5 tableau swaps the weight pair: its
+# `c_sol` misses the order-5 conditions by ~9e-4 (measured endpoint order
+# ~3.9, tests/test_convergence.py) while the true 5th-order weights serve
+# only as the error comparator.  `c_sol - c_error` recovers the published
+# method (Tsitouras 2011; as in OrdinaryDiffEq.jl / diffrax) and equals
+# the final stage row exactly, so the method becomes FSAL with the same
+# embedded error estimate.  Same 6 evals/step as the reference's variant
+# (which also carries k[-1] as f1, rk_common.py:83-90 — at the *5th-order*
+# point while propagating the 4th-order y1; FSAL makes the carried
+# derivative consistent with the propagated state and saves the c_sol
+# combination).
+# Constructed from the final beta row (not the float subtraction) so
+# `is_fsal` holds bitwise; the two agree to the last ulp
+# (tests/test_convergence.py::test_tsit5_le_tableau).
+TSIT5_LE = dataclasses.replace(
+    TSIT5, c_sol=np.append(TSIT5.beta[-1], 0.0))
+
+
 def _dopri8_c_mid():
     h = 1 / 2
     c = [0.0] * 14

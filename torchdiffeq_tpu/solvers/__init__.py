@@ -20,6 +20,10 @@ SOLVERS = {
     'dopri8': dict(kind='adaptive', tableau=tb.DOPRI8),
     'dopri5': dict(kind='adaptive', tableau=tb.DOPRI5),
     'tsit5': dict(kind='adaptive', tableau=tb.TSIT5),
+    # Local-extrapolation Tsit5 — EXTENSION: the published 5th-order
+    # Tsitouras method (the reference propagates the 4th-order embedded
+    # combination; see ops/tableaus.py).  FSAL, same 6 evals/step.
+    'tsit5_le': dict(kind='adaptive', tableau=tb.TSIT5_LE),
     'bosh3': dict(kind='adaptive', tableau=tb.BOSH3),
     'fehlberg2': dict(kind='adaptive', tableau=tb.FEHLBERG2),
     'adaptive_heun': dict(kind='adaptive', tableau=tb.ADAPTIVE_HEUN),
