@@ -57,6 +57,76 @@ def test_step_to_end_composes_with_step_t():
     assert _exp_err(ys, t) < 1e-6
 
 
+def test_step_to_end_step_t_collides_with_output_time():
+    """Regression: a user step_t equal to an output time used to leave a
+    duplicate in the merged forced-boundary array, stalling step_idx on
+    the second copy so every LATER output boundary was skipped — outputs
+    were silently broadcast-copied from overshooting steps (~1e-2 error,
+    error_code 0)."""
+    f = lambda t, y: -y
+    t = jnp.linspace(0., 2., 5)           # outputs at 0.5, 1.0, 1.5, 2.0
+    ys, st = tde.odeint_with_stats(
+        f, jnp.array([1.0]), t,
+        options=dict(step_to_end=True, step_t=jnp.array([0.5])))
+    assert int(st.error_code) == 0
+    assert _exp_err(ys, t) < 1e-6
+
+
+def test_step_to_end_jump_t_at_output_time():
+    """Regression: with step_to_end, an output time equal to a user
+    jump_t was claimed by the forced step_t boundary FIRST, so the strict
+    jump window never fired — no far-side re-evaluation, jump_idx stalled,
+    and every later jump_t entry was dead."""
+    # field discontinuous at t=0.5 (rate -1 -> -3); exact solution known
+    f = lambda t, y: jnp.where(t < 0.5, -y, -3. * y)
+    t = jnp.linspace(0., 1., 3)           # output at 0.5 == jump_t[0]
+    exact = np.where(np.asarray(t) < 0.5, np.exp(-np.asarray(t)),
+                     np.exp(-0.5) * np.exp(-3 * (np.asarray(t) - 0.5)))
+    for opts in (dict(jump_t=jnp.array([0.5])),
+                 dict(step_to_end=True, jump_t=jnp.array([0.5]))):
+        ys, st = tde.odeint_with_stats(f, jnp.array([1.0]), t,
+                                       rtol=1e-7, atol=1e-9, options=opts)
+        assert int(st.error_code) == 0
+        err = np.max(np.abs(np.asarray(ys[:, 0]) - exact))
+        assert err < 1e-6, (opts, err)
+
+
+def test_error_dtype_plumbed_to_implicit_step_fns():
+    """Regression: `error_dtype` was silently inert for the implicit
+    adaptive tier — the factories now accumulate the embedded error in
+    the requested dtype (docs/OPTIONS.md says every adaptive option
+    applies to kvaerno3/5 and radau5a)."""
+    from torchdiffeq_tpu.ops import tableaus as tb
+    from torchdiffeq_tpu.solvers.adaptive_implicit import (
+        make_esdirk_step_fn, make_firk_step_fn)
+
+    def f(t, y, perturb=None):
+        return -y
+
+    y0 = jnp.array([1.0, 2.0], jnp.float32)
+    f0 = f(0., y0)
+    for make, tab in ((make_esdirk_step_fn, tb.KVAERNO3),
+                      (make_firk_step_fn, tb.RADAU5A)):
+        _, _, e_plain, _ = make()(f, y0, f0, 0., 0.1, 0.1, tab)
+        _, _, e_up, _ = make(error_dtype=jnp.float64)(
+            f, y0, f0, 0., 0.1, 0.1, tab)
+        assert e_plain.dtype == jnp.float32
+        assert e_up.dtype == jnp.float64
+        # the sum is near-cancelling: f32 vs f64 accumulation differ at
+        # up to ~1e-2 relative of the (tiny) estimate — the very noise
+        # the option removes; only same-order agreement is meaningful
+        np.testing.assert_allclose(np.asarray(e_up),
+                                   np.asarray(e_plain, np.float64),
+                                   rtol=5e-2)
+    # end-to-end: the option reaches the step_fn through odeint dispatch
+    t = jnp.linspace(0., 1., 3)
+    ys = tde.odeint(lambda tt, yy: -yy, y0, t, method='kvaerno3',
+                    rtol=1e-6, atol=1e-8,
+                    options=dict(error_dtype=jnp.float64))
+    np.testing.assert_allclose(np.asarray(ys[-1]),
+                               np.asarray(y0) * np.exp(-1), rtol=1e-5)
+
+
 def test_step_to_end_gradients():
     f = lambda t, y: -y
     t = jnp.linspace(0., 2., 3)

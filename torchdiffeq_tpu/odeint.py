@@ -60,7 +60,8 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
                                                 make_firk_step_fn)
         make = make_esdirk_step_fn if tableau.sdirk else make_firk_step_fn
         step_fn = make(stage_tol=opts.get('stage_tol'),
-                       max_iters=opts.get('max_iters', 100))
+                       max_iters=opts.get('max_iters', 100),
+                       error_dtype=opts.get('error_dtype'))
     return adaptive_rk.AdaptiveConfig(
         step_fn=step_fn,
         tableau=tableau, rtol=prob.rtol, atol=prob.atol, norm=prob.norm,

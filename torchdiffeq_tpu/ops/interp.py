@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .rk_step import _weighted_sum_leaf as _wsum_leaf
 from .treemath import tmap, cast_time
 
 
@@ -81,23 +82,6 @@ def interp_fit_step(y0, y1, k, dt, tableau):
         return jnp.stack([y0l, dtl * f0l, c, b, a])
 
     return tmap(leaf, y0, y1, *list(k))
-
-
-def _wsum_leaf(coeffs, leaves, dt_l, base=None):
-    """Per-leaf ``base + sum_i (coeffs[i]*dt) * leaves[i]`` with the
-    reference's coefficient-by-dt-first rounding order (see
-    ops/rk_step.py `_weighted_sum_leaf`; kept in sync bitwise)."""
-    total = None
-    for c, v in zip(coeffs, leaves):
-        if c == 0.0:
-            continue
-        term = (float(c) * dt_l) * v
-        total = term if total is None else total + term
-    if total is None:
-        total = jnp.zeros_like(leaves[0])
-    if base is not None:
-        total = base + total
-    return total
 
 
 def interp_fit(y0, y1, y_mid, f0, f1, dt):

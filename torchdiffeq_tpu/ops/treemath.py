@@ -86,11 +86,6 @@ def state_size(tree):
     return sum(int(jnp.size(l)) for l in tleaves(tree))
 
 
-def tstack_pair(a, b):
-    """Per-leaf ``jnp.stack([a, b])`` (leading axis of length 2)."""
-    return tmap(lambda x, y: jnp.stack([x, y]), a, b)
-
-
 def tindex(tree, i):
     """Per-leaf ``leaf[i]`` (drop the leading axis at index i)."""
     return tmap(lambda l: l[i], tree)
@@ -106,6 +101,6 @@ def zeros_buffer(tree, length, set0=True):
     return tmap(lambda l: jnp.zeros((length,) + jnp.shape(l), l.dtype), tree)
 
 
-def bmask(mask, leaf, extra_ndim=0):
+def bmask(mask, leaf):
     """Reshape a (T,) mask for broadcasting against a (T, *shape) leaf."""
-    return mask.reshape(mask.shape + (1,) * (jnp.ndim(leaf) - 1 + extra_ndim))
+    return mask.reshape(mask.shape + (1,) * (jnp.ndim(leaf) - 1))

@@ -98,7 +98,18 @@ def _stage_root(func, ti, base, dt_gamma, k_guess, tol, max_iters, perturb):
     return unpack(kr), conv
 
 
-def make_esdirk_step_fn(stage_tol=None, max_iters=100):
+def _error_sum(tab, k, dtc, error_dtype):
+    """Embedded-error weighted sum, optionally accumulated in
+    `error_dtype` while the stages stay in the state dtype — the same
+    mixed-precision contract as the explicit kernel
+    (ops/rk_step.py `runge_kutta_step(error_dtype=...)`)."""
+    if error_dtype is None:
+        return weighted_sum(tab.c_error, k, dtc)
+    return weighted_sum(tab.c_error, [ki.astype(error_dtype) for ki in k],
+                        dtc)
+
+
+def make_esdirk_step_fn(stage_tol=None, max_iters=100, error_dtype=None):
     """Build a `step_fn` for `AdaptiveConfig` from an ESDIRK tableau
     (implicit=True, explicit first stage, stiffly accurate)."""
 
@@ -134,7 +145,7 @@ def make_esdirk_step_fn(stage_tol=None, max_iters=100):
 
         y1 = y0 + weighted_sum(tab.c_sol, k, dtc)
         f1 = k[-1]  # stiffly accurate: the last stage IS f(t1, y1)
-        y1_error = weighted_sum(tab.c_error, k, dtc)
+        y1_error = _error_sum(tab, k, dtc, error_dtype)
         # Non-convergence => force rejection via the error estimate (see
         # module docstring); the magnitude just needs error_ratio > 1.
         big = jnp.asarray(1e10, dtype=y1_error.dtype)
@@ -145,7 +156,7 @@ def make_esdirk_step_fn(stage_tol=None, max_iters=100):
     return step_fn
 
 
-def make_firk_step_fn(stage_tol=None, max_iters=100):
+def make_firk_step_fn(stage_tol=None, max_iters=100, error_dtype=None):
     """Build a `step_fn` for fully-coupled implicit (FIRK) tableaus under
     the adaptive driver — the adaptive Radau IIA 5(3) tier (RADAU5A,
     ops/tableaus.py).  All collocation stages are solved as ONE stacked
@@ -209,7 +220,7 @@ def make_firk_step_fn(stage_tol=None, max_iters=100):
 
         y1 = weighted_sum(tab.c_sol, k, dtc, base=y0)
         f1 = k[-1]                      # stiffly accurate
-        y1_error = weighted_sum(tab.c_error, k, dtc)
+        y1_error = _error_sum(tab, k, dtc, error_dtype)
         big = jnp.asarray(1e10, dtype=y1_error.dtype)
         conv_f = jax.lax.stop_gradient(
             jnp.asarray(conv).astype(y1_error.real.dtype))

@@ -391,6 +391,27 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
         merged = (extra if cfg.step_t is None
                   else jnp.concatenate([jnp.asarray(cfg.step_t,
                                                     dtype=t_dtype), extra]))
+        # Two collision classes must be masked out of the merged array
+        # (times may be traced, so dedup by +inf substitution — an inf
+        # entry keeps the array sorted/static-shape and can never satisfy
+        # the strict t0 < v < t1 window):
+        # 1. a user step_t equal to an output time: the duplicate would
+        #    stall step_idx on the second copy forever, silently skipping
+        #    every later forced boundary;
+        # 2. an output time equal to a jump_t: step truncation would land
+        #    on it FIRST (shadowing the strict jump window), skipping the
+        #    far-side re-evaluation and stalling jump_idx.  Dropping the
+        #    step_t copy lets the jump truncation provide the boundary,
+        #    so step_to_end emission still copies the step state there.
+        merged = jnp.sort(merged)
+        drop = jnp.concatenate([jnp.zeros((1,), bool),
+                                merged[1:] == merged[:-1]])
+        if cfg.jump_t is not None:
+            jt = jnp.asarray(cfg.jump_t, dtype=t_dtype)
+            if jt.ndim == 0:
+                jt = jt[None]
+            drop = drop | jnp.any(merged[:, None] == jt[None, :], axis=1)
+        merged = jnp.sort(jnp.where(drop, jnp.inf, merged))
         cfg = cfg._replace(step_t=merged)
 
     step_t = jump_t = None
