@@ -164,23 +164,33 @@ def bench_jax(shared):
         floor_times.append(time.perf_counter() - t0)
     dispatch_floor = statistics.median(floor_times)
 
-    def time_group(fn, n):
-        """Median wall time of one `fn` group (n chained steps), params
-        re-threaded so successive groups keep training."""
-        times = []
-        p = params
-        for _ in range(N_GROUPS):
-            t0 = time.perf_counter()
-            loss, p = fn(p)
-            float(loss)  # host fetch = real completion barrier
-            times.append(time.perf_counter() - t0)
-        return statistics.median(times), loss
-
-    t_short, _ = time_group(train_many, N_TIMED)
-    t_long, loss = time_group(train_many_long, N_TIMED_LONG)
-    # slope removes the fixed host round trip from the device-time estimate
-    dt = (t_long - t_short) / (N_TIMED_LONG - N_TIMED)
-    dt_amortized10 = t_short / N_TIMED
+    # Short and long groups are timed back-to-back in PAIRS, and the slope
+    # is taken per pair (median across pairs): the tunnel round trip
+    # drifts 3-30 ms with congestion, so timing all short groups first and
+    # all long groups minutes later would let the drift enter the slope —
+    # up to making it negative.  Pairing cancels drift slower than one
+    # pair (~seconds); the median rejects single-spike pairs.
+    slopes, shorts, longs = [], [], []
+    p = params
+    for _ in range(N_GROUPS):
+        t0 = time.perf_counter()
+        loss, p = train_many(p)
+        float(loss)  # host fetch = real completion barrier
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        loss, p = train_many_long(p)
+        float(loss)
+        t_long = time.perf_counter() - t0
+        shorts.append(t_short)
+        longs.append(t_long)
+        slopes.append((t_long - t_short) / (N_TIMED_LONG - N_TIMED))
+    dt = statistics.median(slopes)
+    if dt <= 0:
+        # congestion spike still swallowed every pair: fall back to the
+        # amortized long-group time — an UPPER bound on per-step device
+        # time (it still contains 1/N_TIMED_LONG of one round trip).
+        dt = min(longs) / N_TIMED_LONG
+    dt_amortized10 = statistics.median(shorts) / N_TIMED
 
     percall_times = []
     p = params

@@ -45,19 +45,33 @@ def chain(single, n):
     return fn
 
 
-def slope_time(single, n1=8, n2=32, reps=3):
-    """Per-iteration device time of `single` via the two-length slope."""
-    t_at = {}
+def slope_time(single, n1=8, n2=32, reps=5):
+    """Per-iteration device time of `single` via the two-length slope.
+
+    The two lengths are timed back-to-back in PAIRS with the slope taken
+    per pair (median across pairs): the tunnel round trip drifts 3-30 ms
+    with congestion, and timing the lengths in separate blocks would let
+    that drift enter — possibly dominating or negating — the slope."""
+    fns = {}
     for n in (n1, n2):
-        fn = chain(single, n)
-        float(fn())  # compile + warm; host fetch = real completion
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn())
-            ts.append(time.perf_counter() - t0)
-        t_at[n] = statistics.median(ts)
-    return (t_at[n2] - t_at[n1]) / (n2 - n1)
+        fns[n] = chain(single, n)
+        float(fns[n]())  # compile + warm; host fetch = real completion
+    slopes, longs = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fns[n1]())
+        t_1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(fns[n2]())
+        t_2 = time.perf_counter() - t0
+        longs.append(t_2)
+        slopes.append((t_2 - t_1) / (n2 - n1))
+    dt = statistics.median(slopes)
+    if dt <= 0:
+        # congestion spike swallowed every pair: amortized long-chain time
+        # is an upper bound (contains 1/n2 of one round trip)
+        dt = min(longs) / n2
+    return dt
 
 
 def _count_nfe_train(f, y0, t, rtol, atol, params, tgt, adj_opts):
