@@ -124,6 +124,50 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
 
     adjoint_options = {} if adjoint_options is None else dict(adjoint_options)
 
+    # --- interpolated adjoint mode (extension; no reference counterpart) --
+    # Daulbaev et al. 2020, "Interpolation Technique to Speed Up Gradients
+    # Propagation in Neural ODEs" (PAPERS.md): the backward pass reads
+    # y(t) from a dense interpolant of the forward trajectory instead of
+    # re-integrating y alongside the adjoint.  The augmented state drops
+    # y entirely — ``(vjp_t, adj_y, theta_bar)`` — so (a) the backward
+    # solve cannot diverge from the true trajectory on problems where the
+    # reverse-time y re-solve is unstable (contracting/chaotic dynamics),
+    # and (b) the adjoint tolerances control the adjoint alone.  Cost: a
+    # forward-direction dense-recording solve in the backward pass
+    # (O(max_segments) memory for the quartic coefficients) in exchange
+    # for a smaller, better-conditioned backward system.
+    interpolated = bool(adjoint_options.pop('interpolated', False))
+    # max_segments is only consumed here in interpolated mode (it is also
+    # a legitimate replay-mode option that must keep flowing through)
+    interp_max_segments = (int(adjoint_options.pop('max_segments', 4096))
+                           if interpolated else 4096)
+    if interpolated:
+        if event_fn is not None:
+            raise ValueError(
+                "adjoint_options=dict(interpolated=True) does not support "
+                "event mode; use the standard adjoint for odeint_event.")
+        _fwd_kind = SOLVERS[method if method is not None else 'dopri5']['kind']
+        _adj_kind = SOLVERS[
+            (adjoint_method if adjoint_method is not None else
+             (method if method is not None else 'dopri5'))]['kind']
+        if _fwd_kind != 'adaptive' or _adj_kind != 'adaptive':
+            raise ValueError(
+                "interpolated adjoint requires adaptive forward and adjoint "
+                f"methods (got kinds {_fwd_kind!r}/{_adj_kind!r}): the "
+                "dense recording and the reduced single-sweep backward both "
+                "ride the adaptive driver.")
+        if callable(adjoint_options.get('norm')):
+            raise ValueError(
+                "interpolated adjoint does not support a custom adjoint "
+                "norm callable (the augmented state has no y component); "
+                "use norm='seminorm' or the default.")
+        for _k in ('step_t', 'jump_t'):
+            if _k in adjoint_options:
+                raise ValueError(
+                    f"interpolated adjoint does not support adjoint "
+                    f"{_k!r} (the single-sweep backward owns the jump_t "
+                    f"slots for output-cotangent injection).")
+
     # --- make parameters explicit -----------------------------------------
     # The user func receives state-dtype times (the reference `_PerturbFunc`
     # contract, misc.py:174-197), so trace the closure conversion with a
@@ -229,6 +273,88 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
                 jax.tree_util.tree_leaves(f_at_out),
                 jax.tree_util.tree_leaves(tmap(lambda a: a[1:], g_ys))))
 
+        T = t_int.shape[0]
+
+        # ---- interpolated adjoint: record the forward trajectory's dense
+        # interpolant, then run ONE reduced backward sweep whose augmented
+        # state is (vjp_t, adj_y, theta_bar) — no y carry (see the mode
+        # gate in `adjoint_solve` for the rationale and citation).
+        if interpolated:
+            from .dense import odeint_dense
+
+            # Record in the internal increasing frame (t_int): f_dir is
+            # already sign-conjugated, so time_direction resolves forward
+            # and the buffers' times are directly comparable to the s the
+            # backward driver hands aug_dyn.  step_t/jump_t in the forward
+            # options are user-frame — map them into the internal frame.
+            rec_opts = dict(options or {})
+            for _name in ('step_t', 'jump_t'):
+                if rec_opts.get(_name) is not None:
+                    rec_opts[_name] = sign_t * jnp.asarray(rec_opts[_name])
+            rec_sol = odeint_dense(
+                lambda tt, yy: f_dir(tt, yy, theta_), y0_saved,
+                t_int[0], t_int[-1], rtol=rtol, atol=atol, method=method,
+                options=rec_opts, max_segments=interp_max_segments)
+
+            def aug_dyn_interp(s, aug):
+                vt, adj_y, th_bar = aug
+                # y from the interpolant; stop_gradient keeps the vjp wrt
+                # s the PARTIAL dL/dt (as when y is an independent carry)
+                y_hat = jax.lax.stop_gradient(rec_sol._eval_scalar(s))
+                _f, vjp_fn = jax.vjp(lambda ss, yy, th: f_dir(ss, yy, th),
+                                     s, y_hat, theta_)
+                vt_new, vy, vth = vjp_fn(tmap(jnp.negative, adj_y))
+                return (vt_new.astype(vt.dtype), vy, vth)
+
+            for _name in _ALL_CALLBACK_NAMES:
+                _cb = getattr(func, _name + '_adjoint', None)
+                if _cb is not None:
+                    setattr(aug_dyn_interp, _name, _cb)
+
+            state_norm = (rms_norm if single_array_state else mixed_norm) \
+                if user_state_norm is None else user_state_norm
+            if adjoint_options.get('norm') == 'seminorm':
+                def interp_norm(aug):
+                    vt, adj_y, _ = aug
+                    return jnp.maximum(jnp.abs(vt), state_norm(adj_y))
+            else:
+                def interp_norm(aug):
+                    vt, adj_y, th_bar = aug
+                    return jnp.maximum(
+                        jnp.maximum(jnp.abs(vt), state_norm(adj_y)),
+                        mixed_norm(th_bar))
+
+            opts = dict(adjoint_options)
+            opts['norm'] = interp_norm
+            opts.setdefault('step_to_end', True)
+            vt0 = (-dLds[-1]).astype(sdt).reshape(())
+            aug0i = (vt0, g_T, th_bar0)
+            if T > 2:
+                _, unravel_aug = ravel_pytree(aug0i)
+
+                def inject(k, tt, aug_state):
+                    raveled = not isinstance(aug_state, tuple)
+                    aug = unravel_aug(aug_state) if raveled else aug_state
+                    vt, adj_y, th_bar = aug
+                    j = (T - 2) - k
+                    vt = vt - dLds[j - 1].astype(vt.dtype)
+                    adj_y = tmap(jnp.add, adj_y, tindex(g_ys, j))
+                    out = (vt, adj_y, th_bar)
+                    return ravel_pytree(out)[0] if raveled else out
+
+                opts['jump_t'] = t_int[1:-1]
+                opts['jump_state_fn'] = inject
+                if 'max_num_steps' in opts:
+                    opts['max_num_steps'] = min(
+                        int(opts['max_num_steps']) * (T - 1), 2 ** 31 - 1)
+            sol, _ = _raw_odeint(aug_dyn_interp, aug0i,
+                                 jnp.stack([t_int[-1], t_int[0]]),
+                                 adjoint_rtol, adjoint_atol, adjoint_method,
+                                 opts, 'reverse')
+            vt, adj_y, th_bar = tindex(sol, 1)
+            adj_y = tmap(jnp.add, adj_y, tindex(g_ys, 0))
+            return adj_y, th_bar, vt, dLds
+
         # Warm-start gate: chaining the controller's proposed dt across
         # intervals only makes sense for adaptive backward methods.
         adj_kind = SOLVERS[adjoint_method or 'dopri5']['kind']
@@ -255,8 +381,6 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
             vt, _, adj_y, th_bar = aug
             # reset y to the forward-pass estimate; add the output cotangent
             return (vt, y_im1, tmap(jnp.add, adj_y, g_im1), th_bar)
-
-        T = t_int.shape[0]
 
         # ---- fused single-sweep backward (the default for adaptive
         # adjoint methods): ONE while_loop over the whole reversed span.
