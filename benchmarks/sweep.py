@@ -349,8 +349,15 @@ def main():
                             adjoint_options=dict(norm='seminorm'))
         return jnp.mean(ys ** 2)
 
+    def loss_interp(p):
+        ys = odeint_adjoint(field, y0, t, rtol=1e-7, atol=1e-9, args=(p,),
+                            adjoint_options=dict(interpolated=True,
+                                                 max_segments=64))
+        return jnp.mean(ys ** 2)
+
     for name, loss in [("continuous adjoint (dopri5)", loss_adj),
                        ("continuous adjoint, seminorm", loss_semi),
+                       ("interpolated adjoint (dopri5)", loss_interp),
                        ("replay discrete grads (dopri5)", loss_replay),
                        ("scan backprop (rk4, h=0.1)", loss_rk4)]:
         def single(eps, loss=loss):
