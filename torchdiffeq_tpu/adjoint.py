@@ -213,7 +213,34 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
                             ev, SOLVERS, args=(theta_,),
                             ravel_state=not tree_state_capable(method))
 
-    def _backward_pass(y0_saved, t_int, ys, g_ys, theta_, sign):
+    def _record_dense(y0_, t_int, theta_, sign):
+        """Forward-direction dense recording of the trajectory over
+        [t_int[0], t_int[-1]] (internal increasing frame) for the
+        interpolated adjoint: one solve yields both the quartic
+        interpolant and the outputs (evaluated from it), so interpolated
+        training costs two solves total — record + reduced backward."""
+        from .dense import odeint_dense
+        sign_t = jnp.asarray(sign)
+
+        def f_rec(tt, yy):
+            tt = jnp.asarray(tt)
+            tt = sign_t.astype(tt.dtype) * tt
+            f_tree = pure_func(tt, yy, theta_)
+            return tmap(lambda l: cast_time(sign_t, l) * l, f_tree)
+
+        rec_opts = dict(options or {})
+        for _name in ('step_t', 'jump_t'):
+            if rec_opts.get(_name) is not None:
+                rec_opts[_name] = sign_t * jnp.asarray(rec_opts[_name])
+        sol, stats = odeint_dense(
+            f_rec, y0_, t_int[0], t_int[-1], rtol=rtol, atol=atol,
+            method=method, options=rec_opts,
+            max_segments=interp_max_segments, _return_stats=True)
+        ys_tree = jax.vmap(sol._eval_scalar)(t_int)
+        return sol, ys_tree, stats
+
+    def _backward_pass(y0_saved, t_int, ys, g_ys, theta_, sign,
+                       rec_sol=None):
         """The adjoint sweep (reference adjoint.py:124-141) over
         internal-frame times `t_int` (increasing; `sign` converts between
         the internal and user time frames).  `ys`/`g_ys` are in the user's
@@ -280,21 +307,13 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
         # state is (vjp_t, adj_y, theta_bar) — no y carry (see the mode
         # gate in `adjoint_solve` for the rationale and citation).
         if interpolated:
-            from .dense import odeint_dense
-
-            # Record in the internal increasing frame (t_int): f_dir is
-            # already sign-conjugated, so time_direction resolves forward
-            # and the buffers' times are directly comparable to the s the
-            # backward driver hands aug_dyn.  step_t/jump_t in the forward
-            # options are user-frame — map them into the internal frame.
-            rec_opts = dict(options or {})
-            for _name in ('step_t', 'jump_t'):
-                if rec_opts.get(_name) is not None:
-                    rec_opts[_name] = sign_t * jnp.asarray(rec_opts[_name])
-            rec_sol = odeint_dense(
-                lambda tt, yy: f_dir(tt, yy, theta_), y0_saved,
-                t_int[0], t_int[-1], rtol=rtol, atol=atol, method=method,
-                options=rec_opts, max_segments=interp_max_segments)
+            # The interpolant was recorded during the primal forward
+            # (op_fwd residuals); the buffers live in the internal
+            # increasing frame (t_int), directly comparable to the s the
+            # backward driver hands aug_dyn.  A missing recording (defence
+            # in depth) is rebuilt here.
+            if rec_sol is None:
+                rec_sol, _, _ = _record_dense(y0_saved, t_int, theta_, sign)
 
             def aug_dyn_interp(s, aug):
                 vt, adj_y, th_bar = aug
@@ -465,28 +484,40 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
 
     if event_fn is None:
 
-        @jax.custom_vjp
-        def op(y0_, t_, theta_):
+        def _forward(y0_, t_, theta_):
+            """(ys_tree, stats, rec_sol): the primal solve — standard
+            driver emission, or (interpolated mode) one dense-recording
+            solve whose interpolant yields both the outputs and the
+            backward pass's y(t)."""
+            if interpolated:
+                sign = time_sign(t_)
+                rec_sol, ys_tree, stats = _record_dense(
+                    y0_, sign * t_, theta_, sign)
+                return ys_tree, stats, rec_sol
             prob = _normalise(y0_, t_, theta_)
             ys_n, stats = _solve_normalised(prob)
             # The op's boundary representation is always the user pytree
             # (with a leading time axis), so the backward pass is
             # representation-agnostic.
-            return flat_to_tree(prob.unravel, ys_n), stats
+            return flat_to_tree(prob.unravel, ys_n), stats, None
+
+        @jax.custom_vjp
+        def op(y0_, t_, theta_):
+            ys_tree, stats, _ = _forward(y0_, t_, theta_)
+            return ys_tree, stats
 
         def op_fwd(y0_, t_, theta_):
-            prob = _normalise(y0_, t_, theta_)
-            ys_n, stats = _solve_normalised(prob)
-            ys_tree = flat_to_tree(prob.unravel, ys_n)
-            return (ys_tree, stats), (y0_, t_, theta_, ys_tree)
+            ys_tree, stats, rec_sol = _forward(y0_, t_, theta_)
+            return (ys_tree, stats), (y0_, t_, theta_, ys_tree, rec_sol)
 
         def op_bwd(res, ct):
-            y0_, t_, theta_, ys_tree = res
+            y0_, t_, theta_, ys_tree, rec_sol = res
             g_ys = ct[0]
             sign = time_sign(t_)
             t_int = sign * t_
             adj_y, th_bar, vt, dLds = _backward_pass(y0_, t_int, ys_tree,
-                                                     g_ys, theta_, sign)
+                                                     g_ys, theta_, sign,
+                                                     rec_sol=rec_sol)
             # dLds is already in forward output order (dLds[j] ↔ t[j+1])
             time_vjps = jnp.concatenate(
                 [_to_time_dtype(vt[None], t_.dtype),

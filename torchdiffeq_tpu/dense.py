@@ -138,8 +138,13 @@ class DenseSolution:
 
 
 def odeint_dense(func, y0, t0, t1, *, rtol=1e-7, atol=1e-9, method=None,
-                 options=None, args=(), max_segments=4096):
-    """Integrate over [t0, t1] and return a `DenseSolution` callable."""
+                 options=None, args=(), max_segments=4096,
+                 _return_stats=False):
+    """Integrate over [t0, t1] and return a `DenseSolution` callable.
+
+    With ``_return_stats`` (internal; used by the interpolated adjoint's
+    forward recording) returns ``(sol, Stats)`` instead.
+    """
     from .odeint import _adaptive_config
 
     t0 = jnp.asarray(t0).reshape(())
@@ -199,5 +204,12 @@ def odeint_dense(func, y0, t0, t1, *, rtol=1e-7, atol=1e-9, method=None,
     err = jnp.where((carry.t1 < t_end) & (carry.err == OK),
                     ERR_MAX_NUM_STEPS, carry.err)
 
-    return DenseSolution(times, coeffs, carry.n_acc, ts[0], carry.t1,
-                         prob.unravel, prob.t_sign, err)
+    sol = DenseSolution(times, coeffs, carry.n_acc, ts[0], carry.t1,
+                        prob.unravel, prob.t_sign, err)
+    if _return_stats:
+        from .solvers.solution import Stats
+        stats = Stats.make(nfe=carry.nfe, n_steps=carry.n_steps,
+                           n_accepted=carry.n_acc, n_rejected=carry.n_rej,
+                           error_code=err, final_dt=carry.dt)
+        return sol, stats
+    return sol
