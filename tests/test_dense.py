@@ -42,6 +42,19 @@ def test_dense_value_and_derivative(method, vtol, dtol):
     np.testing.assert_allclose(dv, -np.exp(-np.asarray(tq)), atol=dtol)
 
 
+def test_dense_honors_jump_t():
+    """Regression: the dense loop used to drop user step_t/jump_t, so a
+    discontinuous field was integrated straight through the jump."""
+    f = lambda t, y: jnp.where(t < 0.5, -y, -3.0 * y)
+    sol = tde.odeint_dense(f, jnp.array([1.0]), 0.0, 1.0,
+                           rtol=1e-9, atol=1e-11,
+                           options=dict(jump_t=jnp.array([0.5])))
+    for tv in (0.25, 0.5, 0.75, 1.0):
+        exact = (np.exp(-tv) if tv <= 0.5
+                 else np.exp(-0.5) * np.exp(-3 * (tv - 0.5)))
+        assert abs(float(sol(tv)[0]) - exact) < 1e-8, tv
+
+
 def test_dense_non_adaptive_method_raises():
     f, y0 = exp_problem()
     with pytest.raises(ValueError, match="adaptive"):

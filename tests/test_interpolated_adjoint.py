@@ -109,7 +109,35 @@ def test_separatrix_robustness():
     assert abs(g_std - g_true) / g_true > 1.0, (g_std, g_true)
 
 
+def test_forward_jump_t_is_honored():
+    """Regression: the dense recording used to drop user step_t/jump_t
+    (odeint_dense passed None to the step kernel), silently integrating
+    through discontinuities ~450x over tolerance."""
+    f = lambda t, y: jnp.where(t < 0.5, -y, -3.0 * y)
+    t = jnp.linspace(0.0, 1.0, 3)
+    exact = np.where(np.asarray(t) < 0.5, np.exp(-np.asarray(t)),
+                     np.exp(-0.5) * np.exp(-3 * (np.asarray(t) - 0.5)))
+    ys = odeint_adjoint(f, jnp.array([1.0]), t, rtol=1e-9, atol=1e-11,
+                        options=dict(jump_t=jnp.array([0.5])),
+                        adjoint_options=dict(interpolated=True))
+    err = np.max(np.abs(np.asarray(ys[:, 0]) - exact))
+    assert err < 1e-8, err
+
+
+def test_recording_failure_poisons_outputs():
+    """Regression: a recording that trips its step budget used to return
+    the interpolant's clamped (finite but wrong) tail; it must NaN-poison
+    outputs past the integrated span like the standard driver."""
+    ys = odeint_adjoint(F, Y0, T5, options=dict(max_num_steps=1),
+                        adjoint_options=dict(interpolated=True))
+    assert bool(jnp.all(jnp.isnan(ys[-1]))), ys
+    assert bool(jnp.all(jnp.isfinite(ys[0])))  # initial row always valid
+
+
 def test_invalid_configs_raise():
+    with pytest.raises(ValueError, match="Invalid method"):
+        odeint_adjoint(F, Y0, T5, method="dopri5x",
+                       adjoint_options=dict(interpolated=True))
     with pytest.raises(ValueError, match="adaptive"):
         jax.grad(lambda y: jnp.sum(odeint_adjoint(
             F, y, T5, method='rk4', options=dict(step_size=0.1),

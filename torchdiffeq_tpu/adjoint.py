@@ -146,10 +146,16 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
             raise ValueError(
                 "adjoint_options=dict(interpolated=True) does not support "
                 "event mode; use the standard adjoint for odeint_event.")
-        _fwd_kind = SOLVERS[method if method is not None else 'dopri5']['kind']
-        _adj_kind = SOLVERS[
-            (adjoint_method if adjoint_method is not None else
-             (method if method is not None else 'dopri5'))]['kind']
+        _fwd_name = method if method is not None else 'dopri5'
+        _adj_name = (adjoint_method if adjoint_method is not None
+                     else _fwd_name)
+        for _n in (_fwd_name, _adj_name):
+            if _n not in SOLVERS:
+                raise ValueError(
+                    'Invalid method "{}". Must be one of {}'.format(
+                        _n, '{"' + '", "'.join(SOLVERS.keys()) + '"}.'))
+        _fwd_kind = SOLVERS[_fwd_name]['kind']
+        _adj_kind = SOLVERS[_adj_name]['kind']
         if _fwd_kind != 'adaptive' or _adj_kind != 'adaptive':
             raise ValueError(
                 "interpolated adjoint requires adaptive forward and adjoint "
@@ -232,11 +238,29 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
         for _name in ('step_t', 'jump_t'):
             if rec_opts.get(_name) is not None:
                 rec_opts[_name] = sign_t * jnp.asarray(rec_opts[_name])
+        # max_num_steps is a per-output-interval budget in the standard
+        # driver (reset at each emission); the recording is ONE span over
+        # T-1 intervals, so scale it the way the fused backward does.
+        if rec_opts.get('max_num_steps') is not None:
+            rec_opts['max_num_steps'] = min(
+                int(rec_opts['max_num_steps']) * max(t_int.shape[0] - 1, 1),
+                2 ** 31 - 1)
         sol, stats = odeint_dense(
             f_rec, y0_, t_int[0], t_int[-1], rtol=rtol, atol=atol,
             method=method, options=rec_opts,
             max_segments=interp_max_segments, _return_stats=True)
         ys_tree = jax.vmap(sol._eval_scalar)(t_int)
+        # A failed recording (dt underflow / non-finite state / step or
+        # segment budget) covers only a prefix: NaN-poison the outputs
+        # past the integrated span, matching the standard driver's
+        # unwritten-tail poisoning (adaptive_rk.integrate) instead of
+        # returning the interpolant's clamped (plausible but wrong) tail.
+        bad = stats.error_code != 0
+        uncovered = bad & (t_int > sol.t_hi)
+        ys_tree = tmap(
+            lambda l: jnp.where(
+                uncovered.reshape((-1,) + (1,) * (jnp.ndim(l) - 1)),
+                jnp.nan, l), ys_tree)
         return sol, ys_tree, stats
 
     def _backward_pass(y0_saved, t_int, ys, g_ys, theta_, sign,

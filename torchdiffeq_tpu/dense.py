@@ -171,6 +171,18 @@ def odeint_dense(func, y0, t0, t1, *, rtol=1e-7, atol=1e-9, method=None,
     f0, dt0, _nfe0 = adaptive_rk._setup(prob.func, prob.y0, ts[0], cfg,
                                         ts.dtype)
 
+    # honor forced/discontinuity times exactly as the main driver does
+    # (check_inputs already mapped them into the internal frame)
+    adaptive_rk._check_no_duplicates(cfg.step_t, cfg.jump_t)
+    step_t = jump_t = None
+    step_idx = jump_idx = jnp.int32(0)
+    if cfg.step_t is not None:
+        step_t, step_idx = adaptive_rk._prep_tvals(cfg.step_t, ts[0],
+                                                   ts.dtype)
+    if cfg.jump_t is not None:
+        jump_t, jump_idx = adaptive_rk._prep_tvals(cfg.jump_t, ts[0],
+                                                   ts.dtype)
+
     times = jnp.full((max_segments + 1,), jnp.inf, dtype=ts.dtype).at[0].set(ts[0])
     coeffs = jnp.zeros((max_segments, 5, n), dtype=prob.y0.dtype)
 
@@ -178,7 +190,7 @@ def odeint_dense(func, y0, t0, t1, *, rtol=1e-7, atol=1e-9, method=None,
     carry0 = adaptive_rk._Carry(
         y1=prob.y0, f1=f0, t0=ts[0], t1=ts[0], dt=dt0, coeff=zeros_coeff,
         i_out=jnp.int32(0), out=jnp.zeros((1, n), dtype=prob.y0.dtype),
-        step_idx=jnp.int32(0), jump_idx=jnp.int32(0),
+        step_idx=step_idx, jump_idx=jump_idx,
         nfe=jnp.int32(2), n_steps=jnp.int32(0), n_acc=jnp.int32(0),
         n_rej=jnp.int32(0), steps_in_interval=jnp.int32(0),
         err=jnp.int32(OK), prev_ratio=jnp.ones((), dtype=ts.dtype),
@@ -191,7 +203,7 @@ def odeint_dense(func, y0, t0, t1, *, rtol=1e-7, atol=1e-9, method=None,
 
     def body(state):
         c, times, coeffs = state
-        c2 = adaptive_rk._adaptive_step(c, prob.func, cfg, None, None,
+        c2 = adaptive_rk._adaptive_step(c, prob.func, cfg, step_t, jump_t,
                                         ts.dtype)
         accepted = c2.t1 != c.t1
         seg = c2.n_acc - 1
