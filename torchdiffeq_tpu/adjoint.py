@@ -61,29 +61,38 @@ def _raw_odeint(func, y0, t, rtol, atol, method, options, time_direction):
     return flat_to_tree(prob.unravel, ys_n), stats
 
 
-def _make_adjoint_norm(adjoint_options, user_state_norm, single_array_state):
+def _make_adjoint_norm(adjoint_options, user_state_norm, single_array_state,
+                       has_y=True):
     """Choose/wrap the norm for the augmented backward solve (reference
     `handle_adjoint_norm_`, adjoint.py:243-288).  The augmented state is the
     pytree ``(vjp_t, y, adj_y, theta_bar)`` with y/adj_y in the user's own
-    state structure (native shapes — no ravel)."""
+    state structure (native shapes — no ravel) — or, for the interpolated
+    adjoint (``has_y=False``), the reduced ``(vjp_t, adj_y, theta_bar)``
+    (custom norm callables are rejected at the mode gate there)."""
     if user_state_norm is None:
         state_norm = rms_norm if single_array_state else mixed_norm
     else:
         state_norm = user_state_norm
 
+    def split(aug):
+        if has_y:
+            vt, y, adj_y, th_bar = aug
+            return vt, (y, adj_y), th_bar
+        vt, adj_y, th_bar = aug
+        return vt, (adj_y,), th_bar
+
     def default_adjoint_norm(aug):
-        vt, y, adj_y, th_bar = aug
+        vt, states, th_bar = split(aug)
         out = jnp.abs(vt)
-        out = jnp.maximum(out, state_norm(y))
-        out = jnp.maximum(out, state_norm(adj_y))
-        out = jnp.maximum(out, mixed_norm(th_bar))
-        return out
+        for s in states:
+            out = jnp.maximum(out, state_norm(s))
+        return jnp.maximum(out, mixed_norm(th_bar))
 
     def adjoint_seminorm(aug):
-        vt, y, adj_y, th_bar = aug
+        vt, states, _ = split(aug)
         out = jnp.abs(vt)
-        out = jnp.maximum(out, state_norm(y))
-        out = jnp.maximum(out, state_norm(adj_y))
+        for s in states:
+            out = jnp.maximum(out, state_norm(s))
         return out
 
     norm_spec = adjoint_options.get('norm')
@@ -219,6 +228,17 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
                             ev, SOLVERS, args=(theta_,),
                             ravel_state=not tree_state_capable(method))
 
+    def _sign_conjugated_field(sign_t):
+        """The vector field in the internal increasing time frame:
+        f'(s) = sign * f(sign * s, y).  Shared by the backward augmented
+        dynamics and the interpolated-adjoint forward recording."""
+        def f_dir(tt, yy, th):
+            tt = jnp.asarray(tt)
+            tt = sign_t.astype(tt.dtype) * tt
+            f_tree = pure_func(tt, yy, th)
+            return tmap(lambda l: cast_time(sign_t, l) * l, f_tree)
+        return f_dir
+
     def _record_dense(y0_, t_int, theta_, sign):
         """Forward-direction dense recording of the trajectory over
         [t_int[0], t_int[-1]] (internal increasing frame) for the
@@ -227,12 +247,8 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
         training costs two solves total — record + reduced backward."""
         from .dense import odeint_dense
         sign_t = jnp.asarray(sign)
-
-        def f_rec(tt, yy):
-            tt = jnp.asarray(tt)
-            tt = sign_t.astype(tt.dtype) * tt
-            f_tree = pure_func(tt, yy, theta_)
-            return tmap(lambda l: cast_time(sign_t, l) * l, f_tree)
+        f_dir = _sign_conjugated_field(sign_t)
+        f_rec = lambda tt, yy: f_dir(tt, yy, theta_)
 
         rec_opts = dict(options or {})
         for _name in ('step_t', 'jump_t'):
@@ -275,13 +291,7 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
         Returns (adj_y, theta_bar, vt_final, dLds)."""
         sdt = state_dtype(y0_saved)
         sign_t = jnp.asarray(sign)
-
-        def f_dir(tt, yy, th):
-            # internal increasing frame: f'(s) = sign * f(sign * s)
-            tt = jnp.asarray(tt)
-            tt = (sign_t.astype(tt.dtype) * tt).astype(sdt)
-            f_tree = pure_func(tt, yy, th)
-            return tmap(lambda l: cast_time(sign_t, l) * l, f_tree)
+        f_dir = _sign_conjugated_field(sign_t)
 
         def aug_dyn(s, aug):
             vt, y, adj_y, th_bar = aug
@@ -354,21 +364,10 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
                 if _cb is not None:
                     setattr(aug_dyn_interp, _name, _cb)
 
-            state_norm = (rms_norm if single_array_state else mixed_norm) \
-                if user_state_norm is None else user_state_norm
-            if adjoint_options.get('norm') == 'seminorm':
-                def interp_norm(aug):
-                    vt, adj_y, _ = aug
-                    return jnp.maximum(jnp.abs(vt), state_norm(adj_y))
-            else:
-                def interp_norm(aug):
-                    vt, adj_y, th_bar = aug
-                    return jnp.maximum(
-                        jnp.maximum(jnp.abs(vt), state_norm(adj_y)),
-                        mixed_norm(th_bar))
-
             opts = dict(adjoint_options)
-            opts['norm'] = interp_norm
+            opts['norm'] = _make_adjoint_norm(
+                adjoint_options, user_state_norm, single_array_state,
+                has_y=False)
             opts.setdefault('step_to_end', True)
             vt0 = (-dLds[-1]).astype(sdt).reshape(())
             aug0i = (vt0, g_T, th_bar0)

@@ -27,7 +27,7 @@ from .misc import check_inputs
 from .ops.interp import interp_evaluate
 from .solvers import SOLVERS
 from .solvers import adaptive_rk
-from .solvers.solution import OK, ERR_MAX_NUM_STEPS
+from .solvers.solution import OK, ERR_MAX_NUM_STEPS, Stats
 
 
 @jax.tree_util.register_pytree_node_class
@@ -219,7 +219,6 @@ def odeint_dense(func, y0, t0, t1, *, rtol=1e-7, atol=1e-9, method=None,
     sol = DenseSolution(times, coeffs, carry.n_acc, ts[0], carry.t1,
                         prob.unravel, prob.t_sign, err)
     if _return_stats:
-        from .solvers.solution import Stats
         stats = Stats.make(nfe=carry.nfe, n_steps=carry.n_steps,
                            n_accepted=carry.n_acc, n_rejected=carry.n_rej,
                            error_code=err, final_dt=carry.dt)
