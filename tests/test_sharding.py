@@ -130,6 +130,40 @@ def test_adjoint_grads_under_shard_map_match_single_device():
                                rtol=1e-5, atol=1e-8)
 
 
+def test_interpolated_adjoint_under_shard_map():
+    """The interpolated adjoint (dense recording + reduced backward)
+    ravels internally, so the documented multi-chip recipe is per-shard
+    solves via shard_map (docs/SHARDING.md): gradients computed that way
+    must match the single-device interpolated gradients."""
+    from functools import partial
+
+    mesh = make_mesh({'data': 8})
+    W = jnp.array([[-0.5, 0.8], [-0.8, -0.5]])
+    y0 = jnp.arange(1.0, 33.0).reshape(16, 2) / 16.0
+    tgt = jnp.ones((16, 2)) * 0.3
+    t = jnp.linspace(0., 1., 3)
+
+    def field(tt, yy, W_):
+        return jnp.tanh(yy) @ W_.T
+
+    def local_loss(W_, y0_, tgt_):
+        ys = tde.odeint_adjoint(field, y0_, t, rtol=1e-8, atol=1e-10,
+                                args=(W_,),
+                                adjoint_options=dict(interpolated=True))
+        return jnp.sum((ys[-1] - tgt_) ** 2)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P('data'), P('data')),
+             out_specs=P(), check_vma=False)
+    def grads_sharded(W_, y0_, tgt_):
+        g = jax.grad(local_loss)(W_, y0_, tgt_)
+        return jax.lax.psum(g, 'data')
+
+    g_sh = jax.jit(grads_sharded)(W, y0, tgt)
+    g_ref = jax.grad(local_loss)(W, y0, tgt)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-8)
+
+
 def test_event_solve_under_vmap_and_sharding():
     """Per-sample event solves (vmap over odeint_event) execute on a
     sharded batch and return the closed-form event times."""
