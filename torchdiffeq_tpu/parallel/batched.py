@@ -14,7 +14,9 @@ Two execution paths:
   the whole batched solve dispatches to the fused Pallas kernel
   (`ops/pallas_kernels.dopri5_integrate_batched`): every VPU lane owns one
   trajectory resident in VMEM, with zero HBM traffic and zero loop dispatch
-  between steps — measured ~3.7x over the vmap path for many small ODEs.
+  between steps — measured 1.15-1.35x over the vmap path for many small
+  ODEs (benchmarks/PERF.md), and it removes the per-call dispatch floor
+  when solves already sit inside a larger jit region.
   With ``event_fn`` the kernel instead watches a per-lane event sign and
   bisects every lane's bracketing interpolant after the loop
   (`dopri5_events_batched`) — fused per-lane event solves.  Problems that
