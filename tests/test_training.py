@@ -139,3 +139,33 @@ def test_fit_rejects_nonpositive_steps():
     step = training.make_sgd_step(lambda p, b: jnp.sum(p ** 2))
     with pytest.raises(ValueError):
         training.fit(step, jnp.ones(2), num_steps=0)
+
+
+def test_fit_rejects_nonpositive_steps_per_dispatch():
+    step = training.make_sgd_step(lambda p, b: jnp.sum(p ** 2))
+    with pytest.raises(ValueError):
+        training.fit(step, jnp.ones(2), num_steps=4, steps_per_dispatch=0)
+
+
+def test_fit_empty_pipeline_returns_empty_losses():
+    def loss_fn(w, batch):
+        return jnp.mean((batch @ w) ** 2)
+
+    step = training.make_sgd_step(loss_fn, lr=0.1)
+    w0 = jnp.ones((3,))
+    w, losses = training.fit(step, w0, batches=iter([]), num_steps=4)
+    assert losses.shape == (0,)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w0))
+
+
+def test_optax_step_keeps_bf16_param_dtype():
+    # adam emits f32-scale updates; apply_updates must cast them back so
+    # the scan carry's dtype is stable (raw p + u would promote to f32).
+    def loss_fn(w, _):
+        return jnp.sum((w - 1.0) ** 2).astype(jnp.float32)
+
+    w = jnp.zeros((4,), jnp.bfloat16)
+    init, step = training.make_optax_step(loss_fn, optax.adam(1e-2))
+    (w1, _), losses = training.scan_steps(step, init(w), length=3)
+    assert w1.dtype == jnp.bfloat16
+    assert losses.shape == (3,)

@@ -33,6 +33,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+import optax
 
 
 def make_sgd_step(loss_fn, lr=1e-3, has_aux=False):
@@ -68,7 +69,10 @@ def make_optax_step(loss_fn, optimizer, has_aux=False):
         params, opt_state = carry
         out, grads = grad_fn(params, batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        # optax.apply_updates casts updates to each param's dtype, so bf16
+        # params stay bf16 even when a transform emits f32 updates — raw
+        # `p + u` would promote the carry and break lax.scan dtype stability.
+        params = optax.apply_updates(params, updates)
         return (params, opt_state), out
 
     return init, step
@@ -126,6 +130,8 @@ def fit(step_fn, carry, batches=None, *, num_steps, steps_per_dispatch=32,
     """
     if num_steps <= 0:
         raise ValueError("fit: num_steps must be positive")
+    if steps_per_dispatch <= 0:
+        raise ValueError("fit: steps_per_dispatch must be positive")
     it = iter(batches) if batches is not None else None
     losses = []
     done = 0
@@ -149,4 +155,6 @@ def fit(step_fn, carry, batches=None, *, num_steps, steps_per_dispatch=32,
         carry, out = scan_steps(step_fn, carry, xs, length=n, donate=donate)
         losses.append(np.asarray(out))
         done += k
+    if not losses:  # pipeline empty/exhausted before the first step
+        return carry, np.zeros((0,))
     return carry, np.concatenate(losses)
