@@ -213,6 +213,192 @@ def bench_jax(shared):
                 backend=jax.default_backend())
 
 
+CONV_BATCH = 128        # the reference example's batch size
+CONV_DIM = 64           # its channel count; state (B, 6, 6, 64)
+CONV_TOL = 1e-3         # its --tol default
+CONV_N_SHORT, CONV_N_LONG = 4, 12
+
+
+def make_shared_conv():
+    """Shared weights/state for the conv-field (ODE-Net MNIST) workload:
+    two 3x3 time-concat convs, HWIO with the time channel LAST (the torch
+    side permutes to the reference's t-first OIHW layout)."""
+    rng = np.random.RandomState(3)
+    d = CONV_DIM
+
+    def he(c_in):
+        return (rng.randn(3, 3, c_in, d) *
+                np.sqrt(2.0 / (9 * c_in))).astype(np.float32)
+
+    w1, w2 = he(d + 1), he(d + 1)
+    b1 = np.zeros(d, np.float32)
+    b2 = np.zeros(d, np.float32)
+    y0 = (0.3 * rng.randn(CONV_BATCH, 6, 6, d)).astype(np.float32)
+    target = rng.randn(6, 6, d).astype(np.float32)
+    return (w1, b1, w2, b2), y0, target
+
+
+def bench_jax_conv(shared):
+    """Training step on the reference's flagship conv-field workload
+    (examples/odenet_mnist.py:76-134 shape): dopri5 fwd + continuous
+    adjoint bwd + SGD at rtol=atol=1e-3 over a (B, 6, 6, 64) state."""
+    import jax
+    import jax.numpy as jnp
+    import torchdiffeq_tpu as tde
+    from torchdiffeq_tpu.models import conv_field, conv_field_flops
+
+    (w1, b1, w2, b2), y0_np, tgt_np = shared
+    params = dict(conv1=dict(w=jnp.asarray(w1), b=jnp.asarray(b1)),
+                  conv2=dict(w=jnp.asarray(w2), b=jnp.asarray(b2)))
+    y0 = jnp.asarray(y0_np)
+    tgt = jnp.asarray(tgt_np)
+    t = jnp.array([0.0, 1.0], jnp.float32)
+    f = lambda tt, yy, p: conv_field(p, tt, yy)
+
+    def loss_fn(p):
+        ys = tde.odeint_adjoint(f, y0, t, rtol=CONV_TOL, atol=CONV_TOL,
+                                args=(p,))
+        return jnp.mean((ys[-1] - tgt[None]) ** 2)
+
+    def make_train_many(n):
+        @jax.jit
+        def train_many(p):
+            def body(p, _):
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                p = jax.tree_util.tree_map(lambda a, g: a - 1e-3 * g, p,
+                                           grads)
+                return p, loss
+            p, losses = jax.lax.scan(body, p, None, length=n)
+            return losses[-1], p
+        return train_many
+
+    train_short = make_train_many(CONV_N_SHORT)
+    train_long = make_train_many(CONV_N_LONG)
+    float(train_short(params)[0])
+    float(train_long(params)[0])
+
+    # exact fwd+bwd VF-eval count on the host CPU backend
+    count = [0]
+
+    def _bump(_):
+        count[0] += 1
+
+    def cfield(tt, yy, p):
+        jax.debug.callback(_bump, tt)
+        return f(tt, yy, p)
+
+    cpu = jax.local_devices(backend='cpu')[0]
+    with jax.default_device(cpu):
+        ys = jax.jit(lambda p: tde.odeint(cfield, y0, t, rtol=CONV_TOL,
+                                          atol=CONV_TOL, args=(p,)))(params)
+        jax.block_until_ready(ys)
+        jax.effects_barrier()
+        nfe_fwd = count[0]
+        count[0] = 0
+
+        def counted_loss(p):
+            ys = tde.odeint_adjoint(cfield, y0, t, rtol=CONV_TOL,
+                                    atol=CONV_TOL, args=(p,))
+            return jnp.mean((ys[-1] - tgt[None]) ** 2)
+
+        g = jax.jit(jax.grad(counted_loss))(params)
+        jax.block_until_ready(g)
+    jax.effects_barrier()
+    nfe_step = count[0]
+
+    slopes, longs = [], []
+    p = params
+    for _ in range(N_GROUPS):
+        t0 = time.perf_counter()
+        loss, p = train_short(p)
+        float(loss)
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        loss, p = train_long(p)
+        float(loss)
+        t_l = time.perf_counter() - t0
+        longs.append(t_l)
+        slopes.append((t_l - t_s) / (CONV_N_LONG - CONV_N_SHORT))
+    dt = statistics.median(slopes)
+    if dt <= 0:
+        dt = min(longs) / CONV_N_LONG
+
+    flops = nfe_step * conv_field_flops(CONV_BATCH, 6, 6, CONV_DIM) * 2
+    return dict(step_seconds=dt, nfe=nfe_step, nfe_forward=nfe_fwd,
+                nfe_backward=nfe_step - nfe_fwd,
+                evals_per_sec=nfe_step * CONV_BATCH / dt,
+                tflops_per_sec=round(flops / dt / 1e12, 3),
+                mfu_bf16_peak=round(flops / dt / 197e12, 4),
+                loss=float(loss), backend=jax.default_backend())
+
+
+def bench_torch_conv(shared):
+    """The identical conv-field training step on reference torchdiffeq
+    (torch CPU): reference ODEfunc architecture (odenet_mnist.py:92-113),
+    weights copied (time channel moved first, HWIO -> OIHW)."""
+    import torch
+    import torch.nn.functional as F
+    sys.path.insert(0, '/root/reference')
+    from torchdiffeq import odeint_adjoint
+
+    (w1, b1, w2, b2), y0_np, tgt_np = shared
+    d = CONV_DIM
+
+    def to_torch_w(w):
+        wt = torch.from_numpy(w.copy())
+        wt = torch.roll(wt, shifts=1, dims=2)   # time channel first
+        return torch.nn.Parameter(wt.permute(3, 2, 0, 1).contiguous())
+
+    class ODEfunc(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.w1 = to_torch_w(w1)
+            self.b1 = torch.nn.Parameter(torch.from_numpy(b1.copy()))
+            self.w2 = to_torch_w(w2)
+            self.b2 = torch.nn.Parameter(torch.from_numpy(b2.copy()))
+            self.nfe = 0
+
+        def forward(self, t, x):
+            self.nfe += 1
+
+            def cat_t(x):
+                return torch.cat([torch.ones_like(x[:, :1]) * t, x], 1)
+
+            h = F.group_norm(x, min(32, d))
+            h = F.relu(h)
+            h = F.conv2d(cat_t(h), self.w1, self.b1, padding=1)
+            h = F.group_norm(h, min(32, d))
+            h = F.relu(h)
+            h = F.conv2d(cat_t(h), self.w2, self.b2, padding=1)
+            return F.group_norm(h, min(32, d))
+
+    func = ODEfunc()
+    y0 = torch.from_numpy(y0_np.copy()).permute(0, 3, 1, 2).contiguous()
+    tgt = torch.from_numpy(tgt_np.copy()).permute(2, 0, 1).contiguous()
+    t = torch.tensor([0.0, 1.0])
+    opt = torch.optim.SGD(func.parameters(), lr=1e-3)
+
+    def step():
+        opt.zero_grad()
+        ys = odeint_adjoint(func, y0, t, rtol=CONV_TOL, atol=CONV_TOL)
+        loss = torch.mean((ys[-1] - tgt[None]) ** 2)
+        loss.backward()
+        opt.step()
+        return loss
+
+    step()  # warm up
+    func.nfe = 0
+    n_timed = 2
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        loss = step()
+    dt = (time.perf_counter() - t0) / n_timed
+    nfe_step = func.nfe / n_timed
+    return dict(step_seconds=dt, nfe=nfe_step,
+                evals_per_sec=nfe_step * CONV_BATCH / dt,
+                loss=float(loss.detach()))
+
+
 def bench_jax_tpu_accuracy():
     """On-TPU accuracy/step-count evidence at rtol=1e-7 (compensated f32
     time): linear decay on t in [16384, 16392], closed-form solution."""
@@ -344,6 +530,20 @@ def main():
         torch_res = dict(error=str(e)[:200])
         vs_baseline = float('nan')
 
+    # second workload shape: the reference's flagship conv-field ODE-Net
+    shared_conv = make_shared_conv()
+    try:
+        conv_res = bench_jax_conv(shared_conv)
+    except Exception as e:  # pragma: no cover
+        conv_res = dict(error=str(e)[:200])
+    try:
+        conv_torch_res = bench_torch_conv(shared_conv)
+        conv_vs = (conv_res['evals_per_sec'] / conv_torch_res['evals_per_sec']
+                   if 'evals_per_sec' in conv_res else None)
+    except Exception as e:
+        conv_torch_res = dict(error=str(e)[:200])
+        conv_vs = None
+
     print(json.dumps({
         "metric": ("VF evals/sec, batched spiral neural-ODE training step "
                    "(dopri5 fwd + adjoint bwd, rtol=1e-7, batch %d; device "
@@ -367,6 +567,18 @@ def main():
                            for k, v in jax_res.items()},
                    "torch_cpu": {k: (round(v, 6) if isinstance(v, float) else v)
                                  for k, v in torch_res.items()},
+                   "conv_odenet_workload": {
+                       "config": ("ODE-Net MNIST conv field (ConcatConv2d+GN"
+                                  ", B=%d, state 6x6x%d, rtol=atol=%g), "
+                                  "training step fwd dopri5 + adjoint bwd"
+                                  % (CONV_BATCH, CONV_DIM, CONV_TOL)),
+                       "jax": {k: (round(v, 6) if isinstance(v, float) else v)
+                               for k, v in conv_res.items()},
+                       "torch_cpu": {k: (round(v, 6)
+                                         if isinstance(v, float) else v)
+                                     for k, v in conv_torch_res.items()},
+                       "vs_torch_cpu": (round(conv_vs, 3)
+                                        if conv_vs else None)},
                    "tpu_accuracy": acc_res},
     }))
 

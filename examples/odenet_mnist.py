@@ -74,49 +74,21 @@ def synthetic_digits(key, n, size=16):
     return imgs[..., None], labels  # NHWC
 
 
-def conv(key, c_in, c_out, k=3):
-    w = jax.random.normal(key, (k, k, c_in, c_out)) * np.sqrt(2.0 / (k * k * c_in))
-    return dict(w=w, b=jnp.zeros((c_out,)))
-
-
-def apply_conv(p, x, stride=1):
-    y = jax.lax.conv_general_dilated(
-        x, p['w'], (stride, stride), 'SAME',
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-    return y + p['b']
-
-
-def group_norm(x, groups=8, eps=1e-5):
-    n, h, w, c = x.shape
-    # largest divisor of c that is <= groups
-    g = max(d for d in range(1, min(groups, c) + 1) if c % d == 0)
-    xg = x.reshape(n, h, w, g, c // g)
-    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-    var = xg.var(axis=(1, 2, 4), keepdims=True)
-    return ((xg - mean) / jnp.sqrt(var + eps)).reshape(n, h, w, c)
+from torchdiffeq_tpu.models.conv_ode import (init_conv as conv,
+                                             conv_apply as apply_conv,
+                                             group_norm, init_conv_field,
+                                             conv_field)
 
 
 def init_ode_func(key, dim):
-    k1, k2 = jax.random.split(key)
-    # time-concat convs: input has dim+1 channels (ConcatConv2d)
-    return dict(conv1=conv(k1, dim + 1, dim), conv2=conv(k2, dim + 1, dim))
+    return init_conv_field(key, dim)
 
 
 def ode_func(t, x, params):
-    """f(t, x): norm -> relu -> concat(t) -> conv, twice (reference
-    ODEfunc, odenet_mnist.py:92-113)."""
-    def concat_t(x):
-        tt = jnp.broadcast_to(jnp.asarray(t, x.dtype),
-                              x.shape[:-1] + (1,))
-        return jnp.concatenate([x, tt], axis=-1)
-
-    h = group_norm(x)
-    h = jax.nn.relu(h)
-    h = apply_conv(params['conv1'], concat_t(h))
-    h = group_norm(h)
-    h = jax.nn.relu(h)
-    h = apply_conv(params['conv2'], concat_t(h))
-    return h
+    """f(t, x): the reference ODEfunc (odenet_mnist.py:92-113), from the
+    shared model library — norm1/relu/concat-conv1/norm2/relu/concat-conv2/
+    norm3 with GroupNorm(min(32, dim))."""
+    return conv_field(params, t, x)
 
 
 def init_model(key, args):

@@ -1,0 +1,95 @@
+"""Convolutional ODE fields: the reference's flagship ODE-Net workload.
+
+JAX re-design of the reference's image-classifier vector field
+(examples/odenet_mnist.py:76-113): `ConcatConv2d` concatenates the scalar
+time as an extra input channel before a 3x3 SAME conv, and `ODEfunc` runs
+
+    norm1 -> relu -> concat(t)+conv1 -> norm2 -> relu -> concat(t)+conv2
+          -> norm3
+
+with GroupNorm(min(32, dim)) for every norm (reference :18-19).  The MNIST
+pipeline downsamples 28x28 inputs to a (B, 64, 6, 6) state before the ODE
+block, so the canonical benchmark state here is NHWC (B, 6, 6, 64).
+
+TPU notes:
+* Layout is NHWC; XLA lowers 3x3 SAME convs to implicit GEMMs on the MXU
+  with K = 9*(dim+1) and N = dim.  `dim=64` (the reference's size) fills
+  only half of the MXU's 128 output lanes — a ~2x utilisation ceiling that
+  is a property of the MODEL, not the solver (see benchmarks/PERF.md's
+  conv-field section).  `dim=128` variants hit full lanes.
+* Parameters are explicit pytrees; everything here is a pure function, so
+  the field composes with jit/grad/vmap/shard_map and the library's
+  adjoint.
+* GroupNorm statistics are computed in f32 even for bf16 states (variance
+  of a bf16 tensor loses ~half the mantissa to cancellation); the
+  normalised output is cast back to the input dtype.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def init_conv(key, c_in, c_out, k=3, dtype=jnp.float32):
+    """He-initialised k x k conv (HWIO) + bias, as an explicit pytree."""
+    w = jax.random.normal(key, (k, k, c_in, c_out), dtype) \
+        * math.sqrt(2.0 / (k * k * c_in))
+    return dict(w=w, b=jnp.zeros((c_out,), dtype))
+
+
+def conv_apply(p, x, stride=1):
+    y = jax.lax.conv_general_dilated(
+        x, p['w'].astype(x.dtype), (stride, stride), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y + p['b'].astype(y.dtype)
+
+
+def group_norm(x, groups=32, eps=1e-5):
+    """GroupNorm over NHWC with `min(groups, C)` groups (reference
+    odenet_mnist.py:18-19 `nn.GroupNorm(min(32, dim), dim)`), reduced down
+    to the largest divisor of C.  Stats in f32, output in x.dtype."""
+    n, h, w, c = x.shape
+    g = max(d for d in range(1, min(groups, c) + 1) if c % d == 0)
+    stat_dtype = jnp.promote_types(x.dtype, jnp.float32)  # bf16 -> f32, f64 stays f64
+    xg = x.astype(stat_dtype).reshape(n, h, w, g, c // g)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = xg.var(axis=(1, 2, 4), keepdims=True)
+    out = (xg - mean) * jax.lax.rsqrt(var + eps)
+    return out.reshape(n, h, w, c).astype(x.dtype)
+
+
+def concat_time(t, x):
+    """ConcatConv2d's input transform (reference odenet_mnist.py:76-89):
+    append a channel filled with `t`."""
+    tt = jnp.broadcast_to(jnp.asarray(t).real.astype(x.dtype),
+                          x.shape[:-1] + (1,))
+    return jnp.concatenate([x, tt], axis=-1)
+
+
+def init_conv_field(key, dim, dtype=jnp.float32):
+    """Parameters for the reference ODEfunc: two time-concat 3x3 convs
+    (dim+1 -> dim); the three GroupNorms are parameter-free here (the
+    reference's affine GN weights initialise to identity)."""
+    k1, k2 = jax.random.split(key)
+    return dict(conv1=init_conv(k1, dim + 1, dim, dtype=dtype),
+                conv2=init_conv(k2, dim + 1, dim, dtype=dtype))
+
+
+def conv_field(params, t, x):
+    """The reference ODEfunc forward (odenet_mnist.py:105-113):
+    norm1 -> relu -> conv1(t,.) -> norm2 -> relu -> conv2(t,.) -> norm3."""
+    h = group_norm(x)
+    h = jax.nn.relu(h)
+    h = conv_apply(params['conv1'], concat_time(t, h))
+    h = group_norm(h)
+    h = jax.nn.relu(h)
+    h = conv_apply(params['conv2'], concat_time(t, h))
+    return group_norm(h)
+
+
+def conv_field_flops(batch, height, width, dim):
+    """Matmul FLOPs of ONE conv_field evaluation (the two 3x3 convs; GN and
+    relu are bandwidth, not MXU FLOPs): 2 * B*H*W * 9*(dim+1) * dim each."""
+    return 2 * (2 * batch * height * width * 9 * (dim + 1) * dim)
