@@ -564,6 +564,55 @@ def main():
     # verbatim so regenerating this file preserves the published numbers) --
     lines += ["", PER_LANE_SECTION.rstrip()]
 
+    # --- TPU-resident f64 stiff tier -----------------------------------------
+    # The TPU has no f64 LU, but f64 elementwise/matmul are native; stage
+    # solves go through ops/linsolve.py (f32 LU + iterative refinement with
+    # f64 residuals), so tight-tolerance stiff solves no longer fall back
+    # to the host CPU.  Wall time is per full solve (slope-timed); the CPU
+    # column is the same f64 program on the host backend (native LAPACK).
+    # This section runs LAST: enabling x64 mid-process would perturb the
+    # weak-typed python-float scalars every earlier section relies on.
+    lines += ["", "## Stiff tier, f64 on the TPU (f32-LU + iterative "
+              "refinement stage solves)", "",
+              "lambda=1e4 linear-relaxation problem y' = -lam*(y - t) + 1, "
+              "rtol=1e-8/atol=1e-10,", "T=5 outputs.  (The field is "
+              "transcendental-free on purpose: XLA's f64 `cos`", "on this "
+              "TPU is only ~4e-12 accurate — 1000x worse than true f64 — "
+              "and at", "lam=1e4 that noise enters the stage residual at "
+              "~4e-8, above the 1e-8-class", "stage tolerance, inflating "
+              "radau5a's step count ~70x.  Polynomial/rational", "fields "
+              "hit no such floor: step counts below match CPU native-LAPACK "
+              "exactly.)", "",
+              "| method | steps | TPU wall (ms/solve) | CPU wall (ms/solve) |",
+              "|---|---|---|---|"]
+    jax.config.update("jax_enable_x64", True)
+    lam = 1e4
+    fs = lambda tt, yy: -lam * (yy - tt) + 1.0
+    t_st = jnp.linspace(0., 2., 5, dtype=jnp.float64)
+    y0s = jnp.array([1.5], jnp.float64)
+    cpu_dev = jax.local_devices(backend='cpu')[0]
+    for method in ['kvaerno3', 'kvaerno5', 'radau5a']:
+        def single_st(eps, method=method):
+            ys = tde.odeint(fs, y0s + eps.astype(jnp.float64), t_st,
+                            method=method, rtol=1e-8, atol=1e-10)
+            return jnp.sum(ys[-1]).astype(jnp.float32)
+
+        dt_tpu = slope_time(single_st, n1=2, n2=6, reps=3)
+        _, s_st = tde.odeint_with_stats(fs, y0s, t_st, method=method,
+                                        rtol=1e-8, atol=1e-10)
+        with jax.default_device(cpu_dev):
+            dt_cpu = slope_time(single_st, n1=2, n2=6, reps=3)
+        lines.append(f"| {method} | {int(s_st.n_steps)} "
+                     f"| {dt_tpu*1e3:.2f} | {dt_cpu*1e3:.2f} |")
+    lines += ["",
+              "These solves previously REQUIRED the CPU backend (no f64 "
+              "LU on TPU);", "the point of the row is residency — a "
+              "1-dim stiff chain is latency-bound", "sequential work, "
+              "not MXU work, so the CPU can legitimately be faster per",
+              "solve.  On-TPU residency wins when the stiff "
+              "solve is embedded in a", "larger jit program (no "
+              "host round trip) or batched over many systems."]
+
     out = "\n".join(lines) + "\n"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PERF.md")
     with open(path, "w") as fh:

@@ -172,6 +172,24 @@ def test_perturb(perturb):
         assert len(on_grid) > 0, times
 
 
+def test_nextafter_arith_emulation():
+    """The arithmetic nextafter emulation (f64-on-TPU path, where XLA
+    cannot lower f64 `nextafter`): bumps 1-2 ULP in the right direction,
+    is exact-identity at x1 == x2, and moves off the value at 0."""
+    from torchdiffeq_tpu.misc import _nextafter_arith
+    for x in [1.0, -1.0, 0.37, 1e10, 1e-10, 0.0]:
+        for target, sign in [(x + 1.0, +1), (x - 1.0, -1)]:
+            out = float(_nextafter_arith(jnp.float64(x), jnp.float64(target)))
+            exact = np.nextafter(x, np.float64(target))
+            ulp = abs(exact - x) if exact != x else np.finfo(np.float64).tiny
+            # moved off x, toward target, by at most 2 ULP + tiny floor
+            assert out != x
+            assert (out - x) * sign > 0
+            assert abs(out - x) <= 2 * ulp + 2 * np.finfo(np.float64).tiny
+    # identity when already equal
+    assert float(_nextafter_arith(jnp.float64(3.5), jnp.float64(3.5))) == 3.5
+
+
 def test_grid_constructor():
     """Custom grid constructor drives the fixed solver (reference
     odeint_tests.py:210-230)."""

@@ -58,8 +58,30 @@ class Perturb(enum.Enum):
     NEXT = 2
 
 
+def _nextafter_arith(x1, x2):
+    """Arithmetic nextafter emulation: bump x1 toward x2 by 1-2 ULP.
+
+    XLA's TPU X64 rewriter cannot lower f64 `nextafter` (the s64
+    bitcast-convert inside it is unimplemented), while f64 add/mul are
+    native — so f64-on-TPU takes this path.  `|x|*eps` lies in
+    [1, 2] ULP(x) for normal x; the `tiny` floor handles x == 0 (where
+    exact nextafter would return a denormal that TPU flush-to-zero
+    discards anyway, see docs/OPTIONS.md).  The 1-ULP slack vs exact
+    nextafter only widens the discontinuity-avoidance margin the
+    perturbation exists for (reference misc.py:343-346); deviation
+    documented in COVERAGE.md."""
+    dt = jnp.result_type(x1)
+    bump = jnp.maximum(jnp.abs(x1) * jnp.finfo(dt).eps,
+                       jnp.asarray(jnp.finfo(dt).tiny, dt))
+    out = x1 + jnp.sign(x2 - x1) * bump
+    return jnp.where(x1 == x2, x2, out)
+
+
 @jax.custom_jvp
 def _nextafter(x1, x2):
+    if (jnp.result_type(x1, x2) == jnp.float64
+            and jax.default_backend() == 'tpu'):
+        return _nextafter_arith(x1, x2)
     return jnp.nextafter(x1, x2)
 
 

@@ -30,8 +30,11 @@ Design:
 TPU notes: the n-wide `jacfwd` per Newton iteration is batched MXU work
 (cheap) while extra *iterations* are sequential (expensive) — the exact-
 Jacobian/few-iterations trade is the right one here, as in
-fixed_grid_implicit._newton.  `jnp.linalg.solve` requires f32 on TPU (no
-f64 LU); run f64 stiff solves on CPU.
+fixed_grid_implicit._newton.  The TPU has no f64 LU, but f64 elementwise/
+matmul ARE native: all linear solves go through `ops.linsolve.solve`,
+which keeps f64 stage solves TPU-RESIDENT via f32 LU + iterative
+refinement with f64 residuals (reaching the reference's 1e-8-class stage
+tolerance, rk_common.py:425-429, on-chip).
 """
 from __future__ import annotations
 
@@ -42,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..misc import Perturb, real_dtype
+from ..ops import linsolve
 from ..ops.rk_step import weighted_sum
 
 
@@ -91,7 +95,7 @@ def _stage_root(func, ti, base, dt_gamma, k_guess, tol, max_iters, perturb):
         # transposition of custom_root (a jacfwd at y itself silently
         # breaks the transpose)
         J = jax.jacfwd(g)(jnp.zeros_like(y))
-        return jnp.linalg.solve(J, y)
+        return linsolve.solve(J, y)
 
     kr, conv = jax.lax.custom_root(residual, pack(k_guess), solve,
                                    tangent_solve, has_aux=True)
@@ -210,7 +214,7 @@ def make_firk_step_fn(stage_tol=None, max_iters=100, error_dtype=None):
             # materialise the linearisation at zero so the solve is linear
             # in y (required for reverse-mode transposition of custom_root)
             J = jax.jacfwd(g)(jnp.zeros_like(y))
-            return jnp.linalg.solve(J, y)
+            return linsolve.solve(J, y)
 
         K0 = pack(jnp.tile(f0, (m,)).astype(y0.dtype))
         Kr, conv = jax.lax.custom_root(residual, K0, solve, tangent_solve,

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..misc import Perturb, nextafter_down, real_dtype
+from ..ops import linsolve
 from ..ops.rk_step import weighted_sum
 from .fixed_grid import (FixedStepMethod, construct_grid, integrate_fixed_grid)
 from .solution import OK, ERR_IMPLICIT_NO_CONVERGENCE
@@ -50,7 +51,7 @@ def _broyden(residual, x0, aux, tol, max_iters):
 
     def body(c):
         x, f, J, it, bailed = c
-        s = -jnp.linalg.solve(J, f)
+        s = -linsolve.solve(J, f)
         bail = ~jnp.all(jnp.isfinite(s))
         s = jnp.where(bail, jnp.zeros_like(s), s)
         x_new = x + s
@@ -83,7 +84,7 @@ def _newton(residual, x0, aux, tol, max_iters):
     def body(c):
         x, f, it, bailed = c
         J = jax.jacfwd(residual, argnums=0)(x, aux)
-        s = -jnp.linalg.solve(J, f)
+        s = -linsolve.solve(J, f)
         bail = ~jnp.all(jnp.isfinite(s))
         s = jnp.where(bail, jnp.zeros_like(s), s)
         x_new = x + s
@@ -138,7 +139,7 @@ def _make_root_solver(residual, tol, max_iters, root_solver='broyden',
         x, aux = res
         g, _ = gs      # the converged flag gets no cotangent
         J = jax.jacfwd(residual, argnums=0)(x, aux)  # (m, m), exact at x*
-        lam = jnp.linalg.solve(J.T, g)
+        lam = linsolve.solve(J.T, g)
         _, pullback = jax.vjp(lambda a: residual(x, a), aux)
         (g_aux,) = pullback(-lam)
         return jnp.zeros_like(x), g_aux
