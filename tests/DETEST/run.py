@@ -32,11 +32,17 @@ import detest  # noqa: E402
 import torchdiffeq_tpu as tde  # noqa: E402
 
 
-def solve(name, method, tol, t1=20.0):
+def solve(name, method, tol, t1=20.0, options='auto'):
     diffeq, init, _ = detest.ALL_PROBLEMS[name]()
     t0, y0 = init()
     y0 = y0.astype(jnp.float64)
     t = jnp.stack([t0.astype(jnp.float64), jnp.asarray(t1, jnp.float64)])
+    if options != 'auto':
+        start = time.time()
+        ys, stats = tde.odeint_with_stats(diffeq, y0, t, rtol=tol, atol=tol,
+                                          method=method, options=options)
+        ys = jax.block_until_ready(ys)
+        return ys[1], int(stats.nfe), time.time() - start, int(stats.error_code)
     options = None
     if method in ('fixed_adams', 'explicit_adams', 'implicit_adams'):
         # fixed-grid multistep: without a step size the 2-point horizon
@@ -59,17 +65,25 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--parity', action='store_true',
                         help='compare NFE/trajectories vs reference torchdiffeq')
-    parser.add_argument('--methods', nargs='+',
-                        default=['dopri5', 'fixed_adams'])
+    parser.add_argument('--methods', nargs='+', default=None,
+                        help='sweep/parity method subset (default: sweep '
+                             'dopri5+fixed_adams, parity all PARITY_SPECS)')
+    parser.add_argument('--parity-only', action='store_true',
+                        help='skip the accuracy sweep, run only --parity')
     args = parser.parse_args()
+    sweep_methods = args.methods or ['dopri5', 'fixed_adams']
 
     names = list(detest.ALL_PROBLEMS)
+
+    if args.parity and args.parity_only:
+        run_parity(names, methods=args.methods)
+        return
 
     truth = {}
     for name in names:
         truth[name], _, _, _ = solve(name, 'dopri5', 1e-12)
 
-    for method in args.methods:
+    for method in sweep_methods:
         for tol in [1e-3, 1e-6, 1e-9]:
             print(f'======= {method} | tol={tol:e} =======')
             nfes, times, errs = [], [], []
@@ -87,17 +101,53 @@ def main():
                   f'{np.sum(times):.3f} | GeomAvg Error {gmean(errs):e}')
 
     if args.parity:
-        run_parity(names)
+        run_parity(names, methods=args.methods)
 
 
-def run_parity(names):
+# method -> (our options, reference options). 'auto' = solve()'s defaults
+# (adaptive methods need none). Fixed-grid tiers use the same step_size on
+# both sides so the grids are identical and the comparison is step-for-step:
+#   - rk4/explicit Adams: identical formulas on identical grids -> the
+#     trajectory diff directly measures arithmetic agreement (~1e-12).
+#   - fixed_adams (= reference AdamsBashforthMoulton): our corrector is the
+#     masked lax.while form (documented deviation, COVERAGE.md) -- NFE counts
+#     differ by corrector-iteration accounting, so the NFE RATIO is reported
+#     but exact 1.000 is not the expectation; trajectories must still agree
+#     to corrector tolerance.
+#   - implicit FIRK tier (trapezoid, gl4): both sides run Broyden to a
+#     ~1e-8-class stage residual (reference rk_common.py:425-462 hardcodes
+#     1e-8 in f64; ours via options), but iteration paths differ (our Broyden
+#     is the batched good-Broyden update, the reference's maintains a dense
+#     Jacobian w/ torch.linalg.solve) -> NFE ratio is a convention
+#     comparison, trajectories must agree to stage tolerance.
+PARITY_SPECS = [
+    ('dopri5', 'auto', None),
+    ('dopri8', 'auto', None),
+    ('tsit5', 'auto', None),
+    ('bosh3', 'auto', None),
+    ('fehlberg2', 'auto', None),
+    ('adaptive_heun', 'auto', None),
+    ('rk4', dict(step_size=0.1), dict(step_size=0.1)),
+    ('explicit_adams', dict(step_size=0.05, max_order=6),
+     dict(step_size=0.05, max_order=6)),
+    ('fixed_adams', dict(step_size=0.05, max_order=6),
+     dict(step_size=0.05, max_order=6)),
+    ('trapezoid', dict(step_size=0.1), dict(step_size=0.1)),
+    ('gl4', dict(step_size=0.1), dict(step_size=0.1)),
+]
+
+
+def run_parity(names, methods=None):
     """Step-count + trajectory parity vs the reference at rtol=atol=1e-7."""
     sys.path.insert(0, '/root/reference')
     import torch
     from torchdiffeq import odeint as torch_odeint
     torch.set_default_dtype(torch.float64)
 
-    for method in ['dopri5', 'dopri8', 'tsit5', 'bosh3', 'fehlberg2', 'adaptive_heun']:
+    summary = []
+    for method, our_opts, ref_opts in PARITY_SPECS:
+        if methods is not None and method not in methods:
+            continue
         print(f'======= parity vs torchdiffeq | {method} | 1e-7 =======')
         ratios, diffs = [], []
         for name in names:
@@ -105,7 +155,7 @@ def run_parity(names):
                 # the reference's C5 has a data typo + interaction-sign flip
                 # (see detest.py); trajectories are not comparable.
                 continue
-            est, nfe, _, _ = solve(name, method, 1e-7)
+            est, nfe, _, _ = solve(name, method, 1e-7, options=our_opts)
 
             diffeq, init, _ = detest.ALL_PROBLEMS[name]()
             t0, y0 = init()
@@ -114,16 +164,17 @@ def run_parity(names):
                 def __init__(self):
                     self.nfe = 0
 
-                def __call__(self, t, y):
+                def __call__(self, t, y, perturb=None):
                     self.nfe += 1
                     return torch.as_tensor(
                         np.asarray(diffeq(jnp.asarray(float(t)),
-                                          jnp.asarray(y.numpy()))))
+                                          jnp.asarray(y.detach().numpy()))))
 
             f = Counter()
             tt = torch.tensor([float(t0), 20.0])
             yt = torch_odeint(f, torch.as_tensor(np.asarray(y0)), tt,
-                              rtol=1e-7, atol=1e-7, method=method)
+                              rtol=1e-7, atol=1e-7, method=method,
+                              options=dict(ref_opts) if ref_opts else None)
             ratio = nfe / f.nfe
             diff = float(np.max(np.abs(np.asarray(est) - yt[1].numpy())
                                 / (1e-8 + np.abs(yt[1].numpy()))))
@@ -133,6 +184,12 @@ def run_parity(names):
                   f'(ratio {ratio:.3f}) | max rel diff {diff:.2e}')
         print(f'NFE ratio geomean {gmean(ratios):.4f} | '
               f'worst trajectory diff {max(diffs):.2e}')
+        summary.append((method, gmean(ratios), max(diffs)))
+
+    print('\n======= parity summary =======')
+    for method, g, worst in summary:
+        print(f'{method:16s} NFE-ratio geomean {g:.4f} | '
+              f'worst traj diff {worst:.2e}')
 
 
 if __name__ == '__main__':
