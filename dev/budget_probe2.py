@@ -149,13 +149,15 @@ def main():
           f"(vjp evals + stage sums + error est over the 4-tuple)")
 
     tr = train_time(t10)
+    print(f"TR        (T=10, default) {tr*1e3:8.3f} ms", flush=True)
     tr_semi = train_time(t10, dict(norm='seminorm'))
+    print(f"TR-semi   (seminorm)      {tr_semi*1e3:8.3f} ms", flush=True)
     tr_t2 = train_time(t2)
-    tr_interp = train_time(t10, interpolated=True)
-    print(f"TR        (T=10, default) {tr*1e3:8.3f} ms")
-    print(f"TR-semi   (seminorm)      {tr_semi*1e3:8.3f} ms")
-    print(f"TR-T2     (T=2)           {tr_t2*1e3:8.3f} ms")
-    print(f"TR-interp (interpolated)  {tr_interp*1e3:8.3f} ms")
+    print(f"TR-T2     (T=2)           {tr_t2*1e3:8.3f} ms", flush=True)
+    # the dense recording buffer is (max_segments, 5, B*D) — size it to the
+    # actual step count (~20) or it OOMs at the 4096 default on big states
+    tr_interp = train_time(t10, dict(max_segments=64), interpolated=True)
+    print(f"TR-interp (interpolated)  {tr_interp*1e3:8.3f} ms", flush=True)
 
     c = cost_analysis()
     flops = c.get('flops', float('nan'))

@@ -358,6 +358,20 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
 # Above this output-buffer size (T * n elements), the per-step vectorised
 # emission would dominate; fall back to one-output-per-iteration emission.
 _SCATTER_EMIT_MAX_ELEMENTS = 1 << 22
+# The cond-based fallback body looks cheaper for big (T, state) output
+# buffers, but its compiled HLO COPIES the full buffer through the step
+# branch every iteration (XLA conditionals cannot alias pass-through
+# operands), so its per-step emission traffic equals the scatter body's
+# masked write — while also paying branch copies for y/f, one extra
+# loop iteration per output time, and a fusion barrier between the step
+# and the accept/emit machinery.  Measured on a v5e (dev/budget_probe7.py,
+# bf16, 2.6-2.7M-element states): scatter 2.1x faster end-to-end on a
+# T=2 big-state solve and 2.2x on a T=10 (B, 256) forward solve.  The
+# scatter body is therefore used for any moderate T regardless of state
+# size; the cond body remains only for very long output grids, where
+# "T state-equivalents of traffic per step" is unaffordable no matter
+# which body runs and the extra iterations are the lesser evil.
+_SCATTER_EMIT_MAX_T = 64
 
 
 def integrate(func, y0, ts, cfg: AdaptiveConfig):
@@ -440,7 +454,8 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
             return dw.dw_diff(t, c.t1, c.t1_lo) > 0
         return t > c.t1
 
-    if T * state_size(y0) <= _SCATTER_EMIT_MAX_ELEMENTS:
+    if (T <= _SCATTER_EMIT_MAX_T
+            or T * state_size(y0) <= _SCATTER_EMIT_MAX_ELEMENTS):
         t_end = ts[-1]
 
         def cond(c):
