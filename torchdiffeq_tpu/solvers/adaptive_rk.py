@@ -269,17 +269,32 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
     if jump_t is not None and jump_t.shape[0] > 0:
         jump_reeval = accept & on_jump_t
         if cfg.jump_state_fn is not None:
-            # interface condition: transform the state at the jump time
+            # Interface condition: transform the state at the jump time
             # (the dense-output coeff above keeps the pre-jump trajectory,
-            # which is the correct interpolant inside (t0, t1])
-            y1 = jax.lax.cond(
+            # which is the correct interpolant inside (t0, t1]).
+            #
+            # BRANCH-FREE on purpose: this path is the fused adjoint's
+            # per-step hot loop over the large augmented state, and a
+            # lax.cond here copies every pass-through operand (the full
+            # aug tree) each iteration while putting a fusion barrier in
+            # the body — measured at ~0.12 ms/step of the backward's
+            # driver overhead (dev/budget_probe5.py).  Evaluating the
+            # injection + far-side f unconditionally and selecting costs
+            # one discarded VF eval on non-jump steps (~0.02 ms for the
+            # probe shape) and fuses.  stats.nfe still counts only real
+            # far-side re-evals (`jump_reeval` below), preserving
+            # reference NFE accounting; this branch is internal (the
+            # public jump_t path without a state hook keeps the lazy
+            # cond, so user-visible eval counts match the reference).
+            y1 = twhere(jump_reeval,
+                        cfg.jump_state_fn(c.jump_idx, t1, y1), y1)
+            f1 = twhere(jump_reeval,
+                        func(t1, y1, perturb=Perturb.NEXT), f1)
+        else:
+            f1 = jax.lax.cond(
                 jump_reeval,
-                lambda: cfg.jump_state_fn(c.jump_idx, t1, y1),
-                lambda: y1)
-        f1 = jax.lax.cond(
-            jump_reeval,
-            lambda: func(t1, y1, perturb=Perturb.NEXT),
-            lambda: f1)
+                lambda: func(t1, y1, perturb=Perturb.NEXT),
+                lambda: f1)
 
     # branch-free select (a lax.cond here would constrain shard_map's
     # varying-axes typing; the fit is ~10 fused vector ops).  In
@@ -435,7 +450,18 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
     if cfg.jump_t is not None:
         jump_t, jump_idx = _prep_tvals(cfg.jump_t, ts[0], t_dtype)
 
-    out = zeros_buffer(y0, T)
+    # Endpoint fast path: with step_to_end and a two-point grid (the fused
+    # adjoint backward's and endpoint-training's exact shape) the only
+    # requested value is ts[-1], and step_to_end forces the final step to
+    # land ON it — so the answer is simply the final carry state.  Keeping
+    # a (2, state) output buffer in the while carry costs ~8 state-passes
+    # of HBM traffic per step (masked scatter + the guard-freeze select
+    # over the carry), measured at most of the backward driver overhead
+    # for big augmented states (dev/budget_probe6.py).  Drop the buffer
+    # from the carry entirely and assemble [y0, y_end] after the loop.
+    endpoint_only = cfg.step_to_end and T == 2
+    out = zeros_buffer(y0, 0, set0=False) if endpoint_only \
+        else zeros_buffer(y0, T)
     # one dead row in step_to_end mode (the interpolant is never fit/read)
     zeros_coeff = _coeff_buffer(y0, 1 if cfg.step_to_end else 5)
     zero_t = jnp.zeros((), dtype=t_dtype)
@@ -464,6 +490,11 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
         def body(c):
             c2 = _adaptive_step(c, func, cfg, step_t, jump_t, t_dtype,
                                 use_dw)
+            if endpoint_only:
+                # single output interval, value read from the final carry
+                # after the loop: no emission work, and steps_in_interval
+                # need never reset (the only boundary ends the loop).
+                return c2
             # emit every output time first covered by this step
             if use_dw:
                 emit_mask = ((dw.dw_diff(ts, c2.t0, c2.t0_lo) > 0)
@@ -531,11 +562,15 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
     # On failure, poison the unwritten tail of the buffer so downstream
     # consumers can't silently use stale zeros.
     bad = carry.err != OK
-    row_ids = jnp.arange(T)
-    ys = tmap(
-        lambda o: jnp.where(bad & bmask(row_ids >= carry.i_out, o),
-                            jnp.nan, o),
-        carry.out)
+    if endpoint_only:
+        ys = tmap(lambda l0, l1: jnp.stack([l0, jnp.where(bad, jnp.nan, l1)]),
+                  y0, carry.y1)
+    else:
+        row_ids = jnp.arange(T)
+        ys = tmap(
+            lambda o: jnp.where(bad & bmask(row_ids >= carry.i_out, o),
+                                jnp.nan, o),
+            carry.out)
 
     stats = Stats.make(nfe=carry.nfe, n_steps=carry.n_steps,
                        n_accepted=carry.n_acc, n_rejected=carry.n_rej,
