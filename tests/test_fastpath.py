@@ -247,3 +247,59 @@ def test_raveled_paths_still_used_where_required():
                                              max_segments=128))
     np.testing.assert_allclose(np.asarray(ys_r[0][-1, 0]), np.exp(-1),
                                rtol=1e-6)
+
+
+# ---- T=2 endpoint fast path (no output buffer in the while carry) ---------
+
+def test_endpoint_fastpath_matches_interpolated_t2():
+    """T=2 + step_to_end (buffer-free fast path) agrees with the plain T=2
+    interpolated solve and the closed form."""
+    f = lambda t, y: -y
+    t2 = jnp.linspace(0., 2., 2)
+    y0 = jnp.array([1.0, 0.5])
+    y_fast, st = tde.odeint_with_stats(f, y0, t2,
+                                       options=dict(step_to_end=True))
+    y_interp = tde.odeint(f, y0, t2)
+    assert int(st.error_code) == 0
+    assert float(jnp.max(jnp.abs(y_fast[0] - y0))) == 0.0
+    np.testing.assert_allclose(np.asarray(y_fast[1]),
+                               np.asarray(y0) * np.exp(-2.), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(y_fast[1]), np.asarray(y_interp[1]),
+                               rtol=1e-6)
+
+
+def test_endpoint_fastpath_reverse_and_tuple_state():
+    f = lambda t, y: (-y[0], {'a': -2.0 * y[1]['a']})
+    y0 = (jnp.array([1.0]), {'a': jnp.array([3.0])})
+    t2 = jnp.linspace(1., 0., 2)  # reversed span
+    ys = tde.odeint(f, y0, t2, options=dict(step_to_end=True))
+    np.testing.assert_allclose(float(ys[0][1, 0]), np.exp(1.), rtol=1e-6)
+    np.testing.assert_allclose(float(ys[1]['a'][1, 0]), 3 * np.exp(2.),
+                               rtol=1e-6)
+
+
+def test_endpoint_fastpath_poisons_on_guard_trip():
+    """Guard failure must still NaN-poison the (unreached) endpoint row and
+    leave row 0 = y0 — the fast path has no output buffer to poison, so the
+    post-loop assembly must reproduce the contract."""
+    f = lambda t, y: y ** 3
+    ys, st = tde.odeint_with_stats(f, jnp.array([1.0]),
+                                   jnp.linspace(0., 2., 2),
+                                   options=dict(step_to_end=True,
+                                                max_num_steps=40))
+    assert int(st.error_code) != 0
+    assert bool(jnp.isnan(ys[1, 0]))
+    assert float(ys[0, 0]) == 1.0
+
+
+def test_endpoint_fastpath_gradients():
+    """Direct (scan) and adjoint gradients through the fast path; the fused
+    adjoint backward itself runs on this path (T=2 reversed span)."""
+    from torchdiffeq_tpu import odeint_adjoint
+    f = lambda t, y: -y
+    t2 = jnp.linspace(0., 1.5, 2)
+    y0 = jnp.array([1.0])
+
+    g_adj = jax.grad(lambda y: jnp.sum(
+        odeint_adjoint(f, y, t2)[-1]))(y0)
+    np.testing.assert_allclose(float(g_adj[0]), np.exp(-1.5), rtol=1e-5)
