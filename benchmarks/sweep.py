@@ -289,8 +289,12 @@ def main():
     #   bwd driver         TR - F10 - bwd bound
     # The bwd step count is the ON-TPU count (bf16 noise inflates the
     # error estimate, so the TPU backward takes more steps than the same
-    # program on CPU f32 — see dev/budget_probe3.py); evals are counted
-    # with a debug callback on the DEVICE doing the work.
+    # program on CPU f32 — see dev/budget_probe3.py).  axon has no host
+    # callbacks under jit, so counts come from driver Stats on a
+    # standalone augmented solve — same aug dynamics, reversed span,
+    # step_to_end, jump_t at the 8 interior output times (interface
+    # landings without the cotangent injection; the step COUNT is what is
+    # needed, probe 3) — run once on the TPU and once on the host CPU.
     from torchdiffeq_tpu.ops import tableaus as _tb
     from torchdiffeq_tpu.ops.rk_step import runge_kutta_step as _rk_step
     B = 4096
@@ -298,33 +302,40 @@ def main():
     rtol_b, atol_b = 1e-3, 1e-5
     tmapu = jax.tree_util.tree_map
 
-    def _tpu_nfe_train(adj_opts=None):
-        count = [0]
+    def _bwd_steps(adj_rtol, adj_atol, device=None):
+        def run():
+            ys = tde.odeint(f3, y0, t, rtol=rtol_b, atol=atol_b, args=(p3,))
+            y_T = ys[-1]
+            adj0a = 2.0 * (y_T - tgt[None]) / y_T.size  # d(MSE)/dy_T
+            th0a = tmapu(jnp.zeros_like, p3)
 
-        def _bump(_):
-            count[0] += 1
+            def aug_dyn(s, aug):
+                vt, yy, adj_y, th_bar = aug
+                ff, vjp_fn = jax.vjp(lambda ss, ya, p: f3(ss, ya, p),
+                                     s, yy, p3)
+                vt_new, vy, vth = vjp_fn(tmapu(jnp.negative, adj_y))
+                return (vt_new.astype(vt.dtype), ff, vy, vth)
 
-        def cf(tt, yy, p):
-            jax.debug.callback(_bump, tt)
-            return f3(tt, yy, p)
+            aug0 = (jnp.float32(0.), y_T, adj0a, th0a)
+            _, st = tde.odeint_with_stats(
+                aug_dyn, aug0, jnp.stack([t[-1], t[0]]),
+                rtol=adj_rtol, atol=adj_atol,
+                options=dict(step_to_end=True, jump_t=t[1:-1]))
+            return float(st.n_steps)
 
-        def loss(p):
-            ys = odeint_adjoint(cf, y0, t, rtol=rtol_b, atol=atol_b,
-                                args=(p,), adjoint_options=adj_opts)
-            return jnp.mean((ys[-1] - tgt[None]) ** 2)
+        if device is None:
+            return run()
+        with jax.default_device(device):
+            return run()
 
-        g = jax.jit(jax.grad(loss))(p3)
-        float(sum(jnp.sum(l.astype(jnp.float32))
-                  for l in jax.tree_util.tree_leaves(g)))
-        jax.effects_barrier()
-        return count[0]
-
+    cpu_d = jax.local_devices(backend='cpu')[0]
     with jax.default_matmul_precision('bfloat16'):
         _, s10 = tde.odeint_with_stats(f3, y0, t, rtol=rtol_b, atol=atol_b,
                                        args=(p3,))
         n_fwd, nfe_fwd = int(s10.n_steps), int(s10.nfe)
-        nfe_total = _tpu_nfe_train()
-        n_bwd = (nfe_total - nfe_fwd) / 6.0
+        n_bwd = _bwd_steps(rtol_b, atol_b)
+        with jax.default_matmul_precision('float32'):
+            n_bwd_cpu = _bwd_steps(rtol_b, atol_b, device=cpu_d)
 
         # isolated stage chain per forward step (6 evals + stage sums)
         rkfunc = lambda tt, yy, perturb=None: f3(tt, yy, p3)
@@ -370,10 +381,11 @@ def main():
 
         f10 = slope_time(single_f10, n1=5, n2=20)
 
-        def _train_wall(adj_opts=None):
+        def _train_wall(adj_rtol=None, adj_atol=None):
             def loss(p):
                 ys = odeint_adjoint(f3, y0, t, rtol=rtol_b, atol=atol_b,
-                                    args=(p,), adjoint_options=adj_opts)
+                                    args=(p,), adjoint_rtol=adj_rtol,
+                                    adjoint_atol=adj_atol)
                 return jnp.mean((ys[-1] - tgt[None]) ** 2)
 
             def single(eps):
@@ -389,10 +401,8 @@ def main():
         # bf16 field's ~4e-3 relative eval noise resolve arithmetic noise,
         # not trajectory error — raising adjoint_rtol to the floor drops
         # steps with no gradient accuracy change.
-        nf_opts = dict(rtol=4e-3, atol=4e-5)
-        tr_nf = _train_wall(nf_opts)
-        nfe_nf = _tpu_nfe_train(nf_opts)
-        n_bwd_nf = (nfe_nf - nfe_fwd) / 6.0
+        tr_nf = _train_wall(4e-3, 4e-5)
+        n_bwd_nf = _bwd_steps(4e-3, 4e-5)
 
     kern_f = n_fwd * sc
     kern_b = n_bwd * ac
@@ -420,13 +430,14 @@ def main():
     lines += ["",
               f"* Forward solve (T=10) measured alone: {f10*1e3:.2f} ms "
               f"({nfe_fwd} NFE, {n_fwd} steps).",
-              f"* Backward on-TPU evals: {nfe_total - nfe_fwd} "
-              f"(~{n_bwd:.1f} dopri5 steps) vs the CPU-f32 count of the "
-              "same program ~13 steps:", "  the surplus is the bf16 noise "
-              "floor, not rejection thrash (every step accepts,",
-              "  `dev/budget_probe4.py`).",
+              f"* Backward on-TPU steps: {n_bwd:.0f} vs {n_bwd_cpu:.0f} for "
+              "the same augmented program on the host", "  CPU (f32): the "
+              "surplus is the bf16 noise floor, not rejection thrash "
+              "(every step", "  accepts, `dev/budget_probe4.py`).  Counts "
+              "from a standalone augmented solve", "  with interface "
+              "landings (`dev/budget_probe3.py`).",
               f"* Noise-floor adjoint tolerance "
-              f"(`adjoint_options=dict(rtol=4e-3, atol=4e-5)`): "
+              f"(`adjoint_rtol=4e-3, adjoint_atol=4e-5`): "
               f"{tr_nf*1e3:.2f} ms", f"  (~{n_bwd_nf:.1f} bwd steps) — "
               f"{tr/tr_nf:.2f}x faster with gradient error vs a tight-"
               "tolerance", "  f32 reference UNCHANGED (probe 4: the extra "
