@@ -101,3 +101,38 @@ def test_adjoint_callback():
     jax.block_until_ready(jax.grad(loss)(y0))
     jax.effects_barrier()
     assert cf.adjoint_steps > 0
+
+
+def test_adjoint_noise_floor_preset():
+    """adjoint_options=dict(noise_floor=True) floors the backward rtol at
+    the state dtype's rounding unit (eps/2): for bf16 state it cuts the
+    backward step count while leaving the gradient at the bf16 noise
+    level; for f32 state at ordinary tolerances it is a no-op."""
+    y0 = jnp.ones((4,), dtype=jnp.bfloat16)
+    t_pts = jnp.array([0.0, 1.0, 2.0], dtype=jnp.float32)
+
+    def run(noise_floor, dtype):
+        cf = CountingFunc(lambda t, y: -0.5 * y)
+        opts = dict(noise_floor=True) if noise_floor else None
+
+        def loss(y0_):
+            ys = tde.odeint_adjoint(cf, y0_, t_pts, rtol=1e-4, atol=1e-6,
+                                    adjoint_options=opts)
+            return jnp.sum(ys[-1].astype(jnp.float32))
+
+        g = jax.grad(loss)(y0.astype(dtype))
+        jax.block_until_ready(g)
+        jax.effects_barrier()
+        return cf.adjoint_steps, np.asarray(g, dtype=np.float64)
+
+    steps_plain, g_plain = run(False, jnp.bfloat16)
+    steps_floor, g_floor = run(True, jnp.bfloat16)
+    assert steps_floor < steps_plain, (steps_floor, steps_plain)
+    # gradient unchanged at the bf16 noise level (analytic: e^{-1})
+    assert np.allclose(g_floor, np.exp(-1.0), rtol=0.05)
+    assert np.allclose(g_plain, g_floor, rtol=0.05)
+
+    # f32 state: u ~ 6e-8 < rtol=1e-4 -> identical step counts
+    s1, _ = run(False, jnp.float32)
+    s2, _ = run(True, jnp.float32)
+    assert s1 == s2

@@ -133,6 +133,27 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
 
     adjoint_options = {} if adjoint_options is None else dict(adjoint_options)
 
+    # --- low-precision backward noise-floor preset (extension) ------------
+    # A vector field evaluated in a low-precision dtype carries ~u = eps/2
+    # RELATIVE rounding noise per evaluation, which enters the backward
+    # error estimate as `dt * ||c_err|| * u * ||f_aug||`; tolerances below
+    # that floor buy accepted-step count, not gradient accuracy (measured
+    # on the bf16 training benchmark: 29 -> 14 backward steps with the
+    # gradient unchanged — benchmarks/PERF.md budget section).
+    # `adjoint_options=dict(noise_floor=True)` floors the adjoint rtol at
+    # the state dtype's rounding unit; a no-op for f32/f64 state at
+    # ordinary tolerances (u_f32 ~ 6e-8), it matters for bf16/f16 state
+    # where u ~ 4e-3 / 5e-4.  Opt-in so default backward numerics stay
+    # bit-identical to the reference's adjoint_rtol=rtol convention.
+    if adjoint_options.pop('noise_floor', False):
+        _u = max((float(jnp.finfo(jnp.asarray(l).dtype).eps) / 2
+                  for l in jax.tree_util.tree_leaves(y0)
+                  if jnp.issubdtype(jnp.asarray(l).dtype, jnp.inexact)),
+                 default=0.0)
+        adjoint_rtol = jax.tree_util.tree_map(
+            lambda r: (max(float(r), _u) if isinstance(r, (int, float))
+                       else jnp.maximum(r, _u)), adjoint_rtol)
+
     # --- interpolated adjoint mode (extension; no reference counterpart) --
     # Daulbaev et al. 2020, "Interpolation Technique to Speed Up Gradients
     # Propagation in Neural ODEs" (PAPERS.md): the backward pass reads
