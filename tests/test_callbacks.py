@@ -136,3 +136,29 @@ def test_adjoint_noise_floor_preset():
     s1, _ = run(False, jnp.float32)
     s2, _ = run(True, jnp.float32)
     assert s1 == s2
+
+
+def test_adjoint_noise_floor_explicit_float():
+    """noise_floor=<float> floors the backward rtol at the given value —
+    the form for f32 state whose eval noise is set by bf16 matmul
+    precision rather than the state dtype."""
+    y0 = jnp.ones((4,), dtype=jnp.float32)
+    t_pts = jnp.array([0.0, 1.0, 2.0], dtype=jnp.float32)
+
+    def run(opts):
+        cf = CountingFunc(lambda t, y: -0.5 * y)
+
+        def loss(y0_):
+            ys = tde.odeint_adjoint(cf, y0_, t_pts, rtol=1e-5, atol=1e-7,
+                                    adjoint_options=opts)
+            return jnp.sum(ys[-1])
+
+        g = jax.grad(loss)(y0)
+        jax.block_until_ready(g)
+        jax.effects_barrier()
+        return cf.adjoint_steps, np.asarray(g, dtype=np.float64)
+
+    s_plain, _ = run(None)
+    s_floor, g_floor = run(dict(noise_floor=4e-3))
+    assert s_floor < s_plain, (s_floor, s_plain)
+    assert np.allclose(g_floor, np.exp(-1.0), rtol=4e-3)

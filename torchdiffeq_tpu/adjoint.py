@@ -143,13 +143,20 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
     # `adjoint_options=dict(noise_floor=True)` floors the adjoint rtol at
     # the state dtype's rounding unit; a no-op for f32/f64 state at
     # ordinary tolerances (u_f32 ~ 6e-8), it matters for bf16/f16 state
-    # where u ~ 4e-3 / 5e-4.  Opt-in so default backward numerics stay
-    # bit-identical to the reference's adjoint_rtol=rtol convention.
-    if adjoint_options.pop('noise_floor', False):
-        _u = max((float(jnp.finfo(jnp.asarray(l).dtype).eps) / 2
-                  for l in jax.tree_util.tree_leaves(y0)
-                  if jnp.issubdtype(jnp.asarray(l).dtype, jnp.inexact)),
-                 default=0.0)
+    # where u ~ 4e-3 / 5e-4.  When the eval noise is NOT set by the state
+    # dtype — f32 state with bf16 matmul precision (the TPU default) —
+    # pass the floor explicitly: `noise_floor=4e-3`.  Opt-in so default
+    # backward numerics stay bit-identical to the reference's
+    # adjoint_rtol=rtol convention.
+    _nf = adjoint_options.pop('noise_floor', False)
+    if _nf:
+        if _nf is True:
+            _u = max((float(jnp.finfo(jnp.asarray(l).dtype).eps) / 2
+                      for l in jax.tree_util.tree_leaves(y0)
+                      if jnp.issubdtype(jnp.asarray(l).dtype, jnp.inexact)),
+                     default=0.0)
+        else:
+            _u = float(_nf)
         adjoint_rtol = jax.tree_util.tree_map(
             lambda r: (max(float(r), _u) if isinstance(r, (int, float))
                        else jnp.maximum(r, _u)), adjoint_rtol)
