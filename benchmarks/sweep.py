@@ -165,6 +165,20 @@ combinations per step, `ops/rk_step.py`) for this field shape
 """
 
 
+
+def _checkpoint(lines, note):
+    """Write the sections accumulated so far to PERF.md and log progress.
+
+    The full regeneration takes >1h of compiles in this container; a
+    killed/timed-out run then leaves NO artifact.  Writing at every
+    section boundary makes the file monotonically complete instead (the
+    final write is the complete regeneration)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PERF.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"[sweep {time.strftime('%H:%M:%S')}] section done -> {note}",
+          file=sys.stderr, flush=True)
+
 def main():
     lines = [
         "# TPU performance sweep (%s)" % jax.devices()[0].device_kind,
@@ -204,6 +218,7 @@ def main():
     # peak), 'bf16' rows use the TPU-default bf16 matmul passes with f32
     # state/controller — the mixed-precision mode for tolerance >= ~1e-4.
     PEAK_BF16 = 197e12
+    _checkpoint(lines, 'Forward solve, 256-d state, 1024-wide MLP field')
     lines += ["", "## Forward solve, 256-d state, 1024-wide MLP field", "",
               "MFU vs the 197 TFLOP/s v5e bf16 matmul peak.", "",
               "| batch | matmul prec | rtol | wall (ms) | TFLOP/s | MFU |",
@@ -238,6 +253,7 @@ def main():
                      f"| {tfs:.2f} | {tfs*1e12/PEAK_BF16*100:.1f}% |")
 
     # --- MXU-heavy training step (fwd + adjoint bwd) ------------------------
+    _checkpoint(lines, 'Training step, 256-d state, 1024-wide MLP field')
     lines += ["", "## Training step, 256-d state, 1024-wide MLP field "
               "(fwd + adjoint bwd)", "",
               "| batch | matmul prec | rtol | adjoint norm | wall (ms) "
@@ -418,6 +434,7 @@ def main():
             ("bwd aug-VJP kernel bound (%.1f steps x %.3f ms)"
              % (n_bwd, ac * 1e3), kern_b),
             ("bwd driver (controller + interface injection)", drv_b)]
+    _checkpoint(lines, 'Training-step device-time budget (bf16 row above)')
     lines += ["", "## Training-step device-time budget (bf16 row above)", "",
               "Measured decomposition of the bf16/default training step "
               "(B=4096, T=10):", "kernel bounds are isolated slope-timed "
@@ -457,6 +474,7 @@ def main():
     # channel count; dim=64 is the reference's size (it fills only half the
     # MXU's 128 output lanes — a model property, see note below), dim=128
     # fills them.
+    _checkpoint(lines, 'Conv-field workload (ODE-Net MNIST shape):')
     lines += ["", "## Conv-field workload (ODE-Net MNIST shape): "
               "(B, 6, 6, dim) state, T=2 endpoint", "",
               "rtol=atol=1e-3 (the reference example's default).  'train' = "
@@ -535,6 +553,7 @@ def main():
     lines += ["", ROOFLINE_SECTION]
 
     # --- mixed-precision error control (bf16 state) -------------------------
+    _checkpoint(lines, 'Mixed-precision error control: bfloat16 state,')
     lines += ["", "## Mixed-precision error control: bfloat16 state, "
               "f32 error/controller", "",
               "`options=dict(error_dtype=jnp.float32)` accumulates the "
@@ -598,6 +617,7 @@ def main():
               "(set `jax_default_matmul_precision='float32'`)."]
 
     # --- gradient paths ----------------------------------------------------
+    _checkpoint(lines, 'Gradient paths, batch 1024, 2-D cubic field, T=10')
     lines += ["", "## Gradient paths, batch 1024, 2-D cubic field, T=10", "",
               "| path | wall (ms) |", "|---|---|"]
     B = 1024
@@ -677,6 +697,7 @@ def main():
     dt_cnf = slope_time(single_cnf, n1=5, n2=20)
     _, s_cnf = tde.odeint_with_stats(cnf_func, (zs, jnp.zeros((BCNF, 1))),
                                      t_cnf, rtol=1e-5, atol=1e-7, args=(hp,))
+    _checkpoint(lines, 'CNF training step (reference examples/cnf.py shape)')
     lines += ["", "## CNF training step (reference examples/cnf.py shape)",
               "",
               "Batch 512 two-circles CNF, width-32 planar mixture with "
@@ -688,6 +709,7 @@ def main():
               f"| {int(s_cnf.nfe)} | {dt_cnf*1e3:.2f} |"]
 
     # --- pallas fused kernel ------------------------------------------------
+    _checkpoint(lines, 'Fused Pallas RK4 vs lax.scan (per 10k steps, (2,B)')
     lines += ["", "## Fused Pallas RK4 vs lax.scan (per 10k steps, (2,B) "
               "layout)", "",
               "| batch | scan (ms) | pallas (ms) |", "|---|---|---|"]
@@ -741,6 +763,7 @@ def main():
     # column is the same f64 program on the host backend (native LAPACK).
     # This section runs LAST: enabling x64 mid-process would perturb the
     # weak-typed python-float scalars every earlier section relies on.
+    _checkpoint(lines, 'Stiff tier, f64 on the TPU (f32-LU + iterative')
     lines += ["", "## Stiff tier, f64 on the TPU (f32-LU + iterative "
               "refinement stage solves)", "",
               "lambda=1e4 linear-relaxation problem y' = -lam*(y - t) + 1, "
