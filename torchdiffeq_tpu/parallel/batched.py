@@ -27,6 +27,14 @@ of `None`/axis-int per arg, like `jax.vmap`'s `in_axes`) to map an arg
 per sample.  The kernel path requires per-sample axes to be `-1` (the
 lane axis); other axes fall back to vmap.
 
+Scope note (round-4 decision, see ops/pallas_kernels.py): the kernel
+path is an opt-in niche, frozen at current scope.  Expect the 1.15-1.35x
+win only for lane-friendly fields (elementwise ops over the state
+vector); fields spelled with per-component scalar indexing + `jnp.stack`
+can lower several-x SLOWER in Mosaic than the vmap path — prefer the
+default vmap path unless `benchmarks/bench_ensemble.py` shows a win for
+your field shape.
+
 `odeint_per_sample` returns solutions stacked as (B, T, ...) plus per-sample
 `Stats` (so NFE/step counts are per trajectory) in the `_with_stats`
 variant.
