@@ -474,6 +474,10 @@ def main():
     # channel count; dim=64 is the reference's size (it fills only half the
     # MXU's 128 output lanes — a model property, see note below), dim=128
     # fills them.
+    # the roofline is static text for the MLP tables above — append it
+    # BEFORE the (slow, many fresh compiles) conv section so a killed run's
+    # checkpointed file still carries the stage-chain ceiling context.
+    lines += ["", ROOFLINE_SECTION]
     _checkpoint(lines, 'Conv-field workload (ODE-Net MNIST shape):')
     lines += ["", "## Conv-field workload (ODE-Net MNIST shape): "
               "(B, 6, 6, dim) state, T=2 endpoint", "",
@@ -549,8 +553,6 @@ def main():
               "* K is also thin: 9*(dim+1) = 585 contraction depth per conv "
               "keeps each GEMM", "  pass short relative to its launch/"
               "epilogue, unlike the 1024-deep MLP rows."]
-
-    lines += ["", ROOFLINE_SECTION]
 
     # --- mixed-precision error control (bf16 state) -------------------------
     _checkpoint(lines, 'Mixed-precision error control: bfloat16 state,')
