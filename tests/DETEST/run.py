@@ -32,17 +32,47 @@ import detest  # noqa: E402
 import torchdiffeq_tpu as tde  # noqa: E402
 
 
-def solve(name, method, tol, t1=20.0, options='auto'):
+def solve(name, method, tol, t1=20.0, options='auto', count_evals=False):
+    """Solve one DETEST problem.  Returns (y(t1), reported_nfe, wall,
+    error_code[, executed_evals]).
+
+    count_evals=True additionally counts the vector-field evaluations that
+    actually EXECUTE (via `jax.debug.callback`) — the same convention as
+    the reference-side `Counter` in `run_parity`, which wraps the func and
+    therefore sees every stage-residual / corrector evaluation
+    (reference rk_common.py:468-483, fixed_adams.py:208-222).  For masked
+    fixed-trip loops (our Adams corrector) executed > reported; for
+    early-exit while_loops (Broyden/Newton stage solves) executed is the
+    data-dependent true count.
+    """
     diffeq, init, _ = detest.ALL_PROBLEMS[name]()
     t0, y0 = init()
     y0 = y0.astype(jnp.float64)
     t = jnp.stack([t0.astype(jnp.float64), jnp.asarray(t1, jnp.float64)])
-    if options != 'auto':
+
+    counter = [0]
+    if count_evals:
+        base = diffeq
+
+        def _bump(_):
+            counter[0] += 1
+
+        def diffeq(tt, yy):
+            jax.debug.callback(_bump, tt)
+            return base(tt, yy)
+
+    def _run(opts):
         start = time.time()
         ys, stats = tde.odeint_with_stats(diffeq, y0, t, rtol=tol, atol=tol,
-                                          method=method, options=options)
+                                          method=method, options=opts)
         ys = jax.block_until_ready(ys)
-        return ys[1], int(stats.nfe), time.time() - start, int(stats.error_code)
+        jax.effects_barrier()
+        wall = time.time() - start
+        out = (ys[1], int(stats.nfe), wall, int(stats.error_code))
+        return out + ((counter[0],) if count_evals else ())
+
+    if options != 'auto':
+        return _run(options)
     options = None
     if method in ('fixed_adams', 'explicit_adams', 'implicit_adams'):
         # fixed-grid multistep: without a step size the 2-point horizon
@@ -53,12 +83,7 @@ def solve(name, method, tol, t1=20.0, options='auto'):
         # reference implementation).
         options = dict(step_size={1e-3: 0.2, 1e-6: 0.05,
                                   1e-9: 0.0125}[tol], max_order=6)
-    start = time.time()
-    ys, stats = tde.odeint_with_stats(diffeq, y0, t, rtol=tol, atol=tol,
-                                      method=method, options=options)
-    ys = jax.block_until_ready(ys)
-    wall = time.time() - start
-    return ys[1], int(stats.nfe), wall, int(stats.error_code)
+    return _run(options)
 
 
 def main():
@@ -114,12 +139,20 @@ def main():
 #     differ by corrector-iteration accounting, so the NFE RATIO is reported
 #     but exact 1.000 is not the expectation; trajectories must still agree
 #     to corrector tolerance.
-#   - implicit FIRK tier (trapezoid, gl4): both sides run Broyden to a
-#     ~1e-8-class stage residual (reference rk_common.py:425-462 hardcodes
-#     1e-8 in f64; ours via options), but iteration paths differ (our Broyden
+#   - implicit FIRK/DIRK tier: both sides run their stage solves to a
+#     ~1e-8-class residual (reference rk_common.py:425-462 hardcodes 1e-8
+#     in f64; ours via options), but iteration paths differ (our Broyden
 #     is the batched good-Broyden update, the reference's maintains a dense
-#     Jacobian w/ torch.linalg.solve) -> NFE ratio is a convention
-#     comparison, trajectories must agree to stage tolerance.
+#     Jacobian w/ torch.linalg.solve).  The apples-to-apples column is
+#     `exec` — OUR executed vector-field evaluations counted with
+#     jax.debug.callback, the exact analogue of the reference-side Counter
+#     that sees every stage-residual eval (rk_common.py:468-483).  The
+#     `reported` column is Stats.nfe (our documented convention: 1 explicit
+#     eval/step for the implicit tier, pre-convergence corrector iterations
+#     for fixed_adams).
+#   - scipy_solver: both sides wrap scipy.integrate.solve_ivp(LSODA); the
+#     reported NFE is scipy's own sol.nfev on our side vs the Counter on
+#     the reference side (reference counts the same calls scipy makes).
 PARITY_SPECS = [
     ('dopri5', 'auto', None),
     ('dopri8', 'auto', None),
@@ -132,13 +165,28 @@ PARITY_SPECS = [
      dict(step_size=0.05, max_order=6)),
     ('fixed_adams', dict(step_size=0.05, max_order=6),
      dict(step_size=0.05, max_order=6)),
+    ('implicit_euler', dict(step_size=0.1), dict(step_size=0.1)),
+    ('implicit_midpoint', dict(step_size=0.1), dict(step_size=0.1)),
     ('trapezoid', dict(step_size=0.1), dict(step_size=0.1)),
+    ('radauIIA3', dict(step_size=0.1), dict(step_size=0.1)),
     ('gl4', dict(step_size=0.1), dict(step_size=0.1)),
+    ('radauIIA5', dict(step_size=0.1), dict(step_size=0.1)),
+    ('gl6', dict(step_size=0.1), dict(step_size=0.1)),
+    ('sdirk2', dict(step_size=0.1), dict(step_size=0.1)),
+    ('trbdf2', dict(step_size=0.1), dict(step_size=0.1)),
+    ('scipy_solver', 'auto', None),
 ]
 
 
 def run_parity(names, methods=None):
-    """Step-count + trajectory parity vs the reference at rtol=atol=1e-7."""
+    """Step-count + trajectory parity vs the reference at rtol=atol=1e-7.
+
+    Two of our eval counts are reported per problem (see PARITY_SPECS
+    comment): `reported` = Stats.nfe (our documented convention) and
+    `exec` = executed VF evals via jax.debug.callback (the reference's
+    func-wrapping Counter convention).  The summary geomeans use `exec`
+    for the reference-convention column.
+    """
     sys.path.insert(0, '/root/reference')
     import torch
     from torchdiffeq import odeint as torch_odeint
@@ -149,13 +197,14 @@ def run_parity(names, methods=None):
         if methods is not None and method not in methods:
             continue
         print(f'======= parity vs torchdiffeq | {method} | 1e-7 =======')
-        ratios, diffs = [], []
+        ratios, ratios_exec, diffs = [], [], []
         for name in names:
             if name == 'C5':
                 # the reference's C5 has a data typo + interaction-sign flip
                 # (see detest.py); trajectories are not comparable.
                 continue
-            est, nfe, _, _ = solve(name, method, 1e-7, options=our_opts)
+            est, nfe, _, _, nexec = solve(name, method, 1e-7,
+                                          options=our_opts, count_evals=True)
 
             diffeq, init, _ = detest.ALL_PROBLEMS[name]()
             t0, y0 = init()
@@ -176,19 +225,26 @@ def run_parity(names, methods=None):
                               rtol=1e-7, atol=1e-7, method=method,
                               options=dict(ref_opts) if ref_opts else None)
             ratio = nfe / f.nfe
+            ratio_exec = nexec / f.nfe
             diff = float(np.max(np.abs(np.asarray(est) - yt[1].numpy())
                                 / (1e-8 + np.abs(yt[1].numpy()))))
             ratios.append(ratio)
+            ratios_exec.append(ratio_exec)
             diffs.append(diff)
-            print(f'{name}: NFE ours {nfe} vs ref {f.nfe} '
-                  f'(ratio {ratio:.3f}) | max rel diff {diff:.2e}')
-        print(f'NFE ratio geomean {gmean(ratios):.4f} | '
+            print(f'{name}: NFE ours {nfe} (exec {nexec}) vs ref {f.nfe} '
+                  f'(reported ratio {ratio:.3f}, exec ratio '
+                  f'{ratio_exec:.3f}) | max rel diff {diff:.2e}')
+        print(f'NFE ratio geomean {gmean(ratios):.4f} '
+              f'(exec {gmean(ratios_exec):.4f}) | '
               f'worst trajectory diff {max(diffs):.2e}')
-        summary.append((method, gmean(ratios), max(diffs)))
+        summary.append((method, gmean(ratios), gmean(ratios_exec),
+                        max(diffs)))
 
     print('\n======= parity summary =======')
-    for method, g, worst in summary:
-        print(f'{method:16s} NFE-ratio geomean {g:.4f} | '
+    print('(reported = Stats.nfe convention; exec = executed-eval count, '
+          'the reference Counter convention)')
+    for method, g, ge, worst in summary:
+        print(f'{method:17s} NFE-ratio geomean {g:.4f} | exec {ge:.4f} | '
               f'worst traj diff {worst:.2e}')
 
 

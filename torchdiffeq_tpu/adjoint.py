@@ -141,13 +141,21 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
     # on the bf16 training benchmark: 29 -> 14 backward steps with the
     # gradient unchanged — benchmarks/PERF.md budget section).
     # `adjoint_options=dict(noise_floor=True)` floors the adjoint rtol at
-    # the state dtype's rounding unit; a no-op for f32/f64 state at
-    # ordinary tolerances (u_f32 ~ 6e-8), it matters for bf16/f16 state
-    # where u ~ 4e-3 / 5e-4.  When the eval noise is NOT set by the state
-    # dtype — f32 state with bf16 matmul precision (the TPU default) —
-    # pass the floor explicitly: `noise_floor=4e-3`.  Opt-in so default
-    # backward numerics stay bit-identical to the reference's
-    # adjoint_rtol=rtol convention.
+    # the state dtype's rounding unit AND scales the adjoint atol by the
+    # same factor (preserving the user's atol/rtol ratio): the augmented
+    # state's adjoint/parameter components pass through zero, where the
+    # ABSOLUTE tolerance governs acceptance, so flooring rtol alone leaves
+    # the controller resolving sub-noise absolute error and buys nothing
+    # (measured: rtol-only preset 6.88 ms vs 6.84 ms default on the bf16
+    # training benchmark; the (rtol, atol)-scaled floor is the 5.84 ms /
+    # fewer-backward-steps configuration — benchmarks/PERF.md budget
+    # section).  A no-op for f32/f64 state at ordinary tolerances
+    # (u_f32 ~ 6e-8); it matters for bf16/f16 state where u ~ 4e-3 /
+    # 5e-4.  When the eval noise is NOT set by the state dtype — f32
+    # state with bf16 matmul precision (the TPU default) — pass the floor
+    # explicitly: `noise_floor=4e-3`.  Opt-in so default backward
+    # numerics stay bit-identical to the reference's adjoint_rtol=rtol
+    # convention.
     _nf = adjoint_options.pop('noise_floor', False)
     if _nf:
         if _nf is True:
@@ -157,9 +165,24 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
                      default=0.0)
         else:
             _u = float(_nf)
-        adjoint_rtol = jax.tree_util.tree_map(
-            lambda r: (max(float(r), _u) if isinstance(r, (int, float))
-                       else jnp.maximum(r, _u)), adjoint_rtol)
+
+        def _floor_r(r):
+            return (max(float(r), _u) if isinstance(r, (int, float))
+                    else jnp.maximum(r, _u))
+
+        def _scale_a(r, a):
+            rf = _floor_r(r)
+            if isinstance(r, (int, float)):
+                return a * (rf / float(r)) if float(r) > 0 else a
+            return a * jnp.where(r > 0, rf / r, jnp.ones_like(rf))
+
+        _r_struct = jax.tree_util.tree_structure(adjoint_rtol)
+        if _r_struct == jax.tree_util.tree_structure(adjoint_atol):
+            # atol first (reads the pre-floor rtol), then floor rtol
+            adjoint_atol = jax.tree_util.tree_map(_scale_a, adjoint_rtol,
+                                                  adjoint_atol)
+        # mismatched rtol/atol pytree structures: floor rtol only
+        adjoint_rtol = jax.tree_util.tree_map(_floor_r, adjoint_rtol)
 
     # --- interpolated adjoint mode (extension; no reference counterpart) --
     # Daulbaev et al. 2020, "Interpolation Technique to Speed Up Gradients
@@ -414,6 +437,7 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
 
                 opts['jump_t'] = t_int[1:-1]
                 opts['jump_state_fn'] = inject
+                opts['_jump_branch_free'] = True
                 if 'max_num_steps' in opts:
                     opts['max_num_steps'] = min(
                         int(opts['max_num_steps']) * (T - 1), 2 ** 31 - 1)
@@ -486,6 +510,7 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
             opts = dict(adj_opts)
             opts['jump_t'] = t_int[1:-1]
             opts['jump_state_fn'] = inject
+            opts['_jump_branch_free'] = True
             # max_num_steps is a PER-INTERVAL budget (reference semantics:
             # one odeint restart per interval); the fused sweep is one
             # interval spanning T-1 of them, so scale the budget to keep a

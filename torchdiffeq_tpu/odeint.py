@@ -52,8 +52,8 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
                   'dfactor', 'min_step', 'max_step', 'max_num_steps',
                   'controller', 'pcoeff', 'icoeff', 'dcoeff', 'replay_grad',
                   'max_segments', 'compensated_time', 'stage_tol',
-                  'max_iters', 'jump_state_fn', 'forward_grad',
-                  'step_to_end', 'error_dtype'})
+                  'max_iters', 'jump_state_fn', '_jump_branch_free',
+                  'forward_grad', 'step_to_end', 'error_dtype'})
     step_fn = None
     if tableau.implicit:
         from .solvers.adaptive_implicit import (make_esdirk_step_fn,
@@ -79,6 +79,7 @@ def _adaptive_config(prob: NormalisedProblem, tableau):
         dcoeff=opts.get('dcoeff', 0.0),
         compensated_time=opts.get('compensated_time', True),
         jump_state_fn=opts.get('jump_state_fn'),
+        jump_branch_free=bool(opts.get('_jump_branch_free', False)),
         step_to_end=bool(opts.get('step_to_end', False)),
         error_dtype=opts.get('error_dtype'))
 

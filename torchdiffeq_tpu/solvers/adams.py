@@ -8,6 +8,15 @@ padded coefficient tables, and the implicit Adams-Moulton corrector runs a
 static `max_iters`-iteration loop with convergence masking (the reference
 breaks early; both produce the converged value).
 
+NFE accounting: `Stats.nfe` reports the reference's eval count — one
+predictor eval per step plus only the PRE-convergence corrector iterations
+(reference fixed_adams.py:208-222 breaks out of the corrector on
+convergence) and the RK4 bootstrap's 3 extra stage evals — carried as a
+data-dependent counter in the stepper state.  The masked loop still
+EXECUTES `max_iters` corrector evaluations per step (a compute-only
+deviation, documented in COVERAGE.md): host-side counting via
+`jax.debug.callback` therefore sees more calls than `Stats.nfe` reports.
+
 The whole sweep is reverse-differentiable, matching the reference's
 backprop-through-the-solver gradients.
 """
@@ -54,7 +63,8 @@ def make_adams_method(*, implicit, rtol, atol, max_iters=MAX_ITERS,
         return dict(hist=hist,
                     hist_len=jnp.int32(0),
                     prev_t=jnp.zeros((), dtype=t_dtype),
-                    have_prev=jnp.asarray(False))
+                    have_prev=jnp.asarray(False),
+                    nfe=jnp.int32(0))
 
     def _update_history(state, t, f):
         # reference `_update_history` (fixed_adams.py:175-178): prepend only
@@ -66,7 +76,7 @@ def make_adams_method(*, implicit, rtol, atol, max_iters=MAX_ITERS,
                              jnp.minimum(state['hist_len'] + 1, hist_size),
                              state['hist_len'])
         prev_t = jnp.where(do, t, state['prev_t'])
-        return dict(hist=hist, hist_len=hist_len, prev_t=prev_t,
+        return dict(state, hist=hist, hist_len=hist_len, prev_t=prev_t,
                     have_prev=jnp.asarray(True))
 
     def _has_converged(dy0, dy1):
@@ -87,6 +97,8 @@ def make_adams_method(*, implicit, rtol, atol, max_iters=MAX_ITERS,
                                            perturb=perturb)
             # f64 grid times must not promote an f32/complex state increment
             # (reference casts the increment with `.type_as(y0)`).
+            # 3 extra stage evals beyond the shared f0 (3/8-rule bootstrap).
+            state = dict(state, nfe=state['nfe'] + 3)
             return dy.astype(y0.dtype), state
 
         def adams_branch(state):
@@ -101,7 +113,12 @@ def make_adams_method(*, implicit, rtol, atol, max_iters=MAX_ITERS,
                                               axes=1)).astype(y0.dtype)
 
                 def corrector(carry, _):
-                    dy, converged, f_last = carry
+                    dy, converged, f_last, n_ev = carry
+                    # reference NFE convention: an eval counts only when the
+                    # reference would still be iterating (it breaks on
+                    # convergence, fixed_adams.py:217-218); the masked eval
+                    # below still executes but is not user-visible NFE.
+                    n_ev = n_ev + (~converged).astype(jnp.int32)
                     f = func(t1, y0 + dy,
                              perturb=Perturb.PREV if perturb else Perturb.NONE)
                     dy_new = (dt_y * moult[0] * f).astype(y0.dtype) + delta
@@ -109,14 +126,15 @@ def make_adams_method(*, implicit, rtol, atol, max_iters=MAX_ITERS,
                     dy = jnp.where(converged, dy, dy_new)
                     f_last = jnp.where(converged, f_last, f)
                     converged = converged | conv_now
-                    return (dy, converged, f_last), None
+                    return (dy, converged, f_last, n_ev), None
 
-                (dy, converged, f_last), _ = jax.lax.scan(
-                    corrector, (dy, jnp.asarray(False), f0), None,
-                    length=max_iters)
+                (dy, converged, f_last, n_ev), _ = jax.lax.scan(
+                    corrector, (dy, jnp.asarray(False), f0, jnp.int32(0)),
+                    None, length=max_iters)
                 # reference fixed_adams.py:219-221: on non-convergence, drop
                 # the oldest history entry.
                 state = dict(state,
+                             nfe=state['nfe'] + n_ev,
                              hist_len=jnp.where(converged, state['hist_len'],
                                                 jnp.maximum(state['hist_len'] - 1, 0)))
             return dy, state
@@ -125,9 +143,9 @@ def make_adams_method(*, implicit, rtol, atol, max_iters=MAX_ITERS,
         dy, state = jax.lax.cond(use_rk4, rk4_branch, adams_branch, state)
         return dy, f0, state
 
-    nfe_per_step = 1 + (max_iters if implicit else 0)
-    return FixedStepMethod(step, order=MIN_ORDER, nfe_per_step=nfe_per_step,
-                           init_state=init_state)
+    return FixedStepMethod(step, order=MIN_ORDER, nfe_per_step=1,
+                           init_state=init_state,
+                           nfe_from_state=lambda st: st['nfe'])
 
 
 def make_fixed_step_method(prob, implicit):

@@ -103,6 +103,16 @@ class AdaptiveConfig(NamedTuple):
     # backward (adjoint.py) to inject output cotangents at interior output
     # times without restarting the while_loop per interval.
     jump_state_fn: Any = None
+    # Evaluate the jump transform + far-side f UNCONDITIONALLY every step
+    # and select, instead of a lax.cond.  Set only by the fused adjoint
+    # (via the internal '_jump_branch_free' option): its injection is a few
+    # cheap gathers/adds and the cond's pass-through copies + fusion
+    # barrier cost ~0.12 ms/step on the big augmented state
+    # (dev/budget_probe5.py).  A USER-supplied jump_state_fn keeps the
+    # lazy cond: an arbitrary user transform may be expensive, and
+    # debug.callback-based eval counting must not see per-step phantom
+    # evals (stats.nfe is correct either way).
+    jump_branch_free: bool = False
     # Land steps exactly ON every output time (forced step_t boundaries)
     # instead of stepping past and interpolating.  Emission then copies the
     # step state directly, and the per-step quartic interpolation fit (and
@@ -268,7 +278,7 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
     y1_prejump = y1  # dense output interpolates the pre-jump trajectory
     if jump_t is not None and jump_t.shape[0] > 0:
         jump_reeval = accept & on_jump_t
-        if cfg.jump_state_fn is not None:
+        if cfg.jump_state_fn is not None and cfg.jump_branch_free:
             # Interface condition: transform the state at the jump time
             # (the dense-output coeff above keeps the pre-jump trajectory,
             # which is the correct interpolant inside (t0, t1]).
@@ -283,13 +293,21 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
             # one discarded VF eval on non-jump steps (~0.02 ms for the
             # probe shape) and fuses.  stats.nfe still counts only real
             # far-side re-evals (`jump_reeval` below), preserving
-            # reference NFE accounting; this branch is internal (the
-            # public jump_t path without a state hook keeps the lazy
-            # cond, so user-visible eval counts match the reference).
+            # reference NFE accounting; this variant is INTERNAL — only
+            # the fused adjoint sets jump_branch_free (a user-supplied
+            # jump_state_fn takes the lazy cond below, so user transforms
+            # run once per actual jump and debug.callback eval counting
+            # sees no phantom per-step evals).
             y1 = twhere(jump_reeval,
                         cfg.jump_state_fn(c.jump_idx, t1, y1), y1)
             f1 = twhere(jump_reeval,
                         func(t1, y1, perturb=Perturb.NEXT), f1)
+        elif cfg.jump_state_fn is not None:
+            def _jumped():
+                y1j = cfg.jump_state_fn(c.jump_idx, t1, y1)
+                return y1j, func(t1, y1j, perturb=Perturb.NEXT)
+
+            y1, f1 = jax.lax.cond(jump_reeval, _jumped, lambda: (y1, f1))
         else:
             f1 = jax.lax.cond(
                 jump_reeval,

@@ -33,12 +33,17 @@ class FixedStepMethod(NamedTuple):
     init_state(func, y0, t0) -> state pytree
     error_from_state(final_state) -> int32 error code (optional; lets a
     stepper surface e.g. implicit-stage non-convergence through Stats)
+    nfe_from_state(final_state) -> int32 extra NFE accumulated in the
+    stepper state (optional; lets a data-dependent stepper — e.g. the
+    Adams-Moulton corrector, whose iteration count varies per step —
+    report the reference's eval count, fixed_adams.py:208-222)
     """
     step: Callable
     order: int
     nfe_per_step: int
     init_state: Callable = lambda func, y0, t0: ()
     error_from_state: Callable = None
+    nfe_from_state: Callable = None
 
 
 def _stateless(fn):
@@ -194,6 +199,8 @@ def integrate_fixed_grid(method: FixedStepMethod, func, y0, ts, grid, *,
 
     n_steps = G - 1
     nfe = n_steps * method.nfe_per_step + (n_steps if cubic else 0)
+    if method.nfe_from_state is not None:
+        nfe = nfe + method.nfe_from_state(state_last)
     err = (method.error_from_state(state_last)
            if method.error_from_state is not None else OK)
     stats = Stats.make(nfe=nfe, n_steps=n_steps, n_accepted=n_steps,
@@ -249,7 +256,8 @@ def integrate_until_event_fixed_grid(method: FixedStepMethod, func, y0, t0,
 
     zero = jnp.zeros_like(y0)
     init = (t0, y0, t0, y0, zero, zero, state0, jnp.int32(0), jnp.asarray(False))
-    t0_, y0_, t1, y1, f0, f1, _, itr, changed = jax.lax.while_loop(cond, body, init)
+    t0_, y0_, t1, y1, f0, f1, state_last, itr, changed = \
+        jax.lax.while_loop(cond, body, init)
 
     if cubic:
         interp_fn = lambda t: cubic_hermite_interp(t0_, y0_, f0, t1, y1, f1, t)
@@ -259,5 +267,7 @@ def integrate_until_event_fixed_grid(method: FixedStepMethod, func, y0, t0,
     event_t, y_event = find_event(interp_fn, sign0, t0_, t1, event_fn, atol)
     err = jnp.where(changed, OK, ERR_MAX_NUM_STEPS).astype(jnp.int32)
     nfe = itr * (method.nfe_per_step + (1 if cubic else 0))
+    if method.nfe_from_state is not None:
+        nfe = nfe + method.nfe_from_state(state_last)
     stats = Stats.make(nfe=nfe, n_steps=itr, n_accepted=itr, error_code=err)
     return event_t, y_event, stats

@@ -50,7 +50,7 @@ def integrate_scipy(prob):
         y0 = np.asarray(y0, dtype=np.float64).reshape(-1)
         t = np.asarray(t, dtype=np.float64)
         if t.size == 1:
-            return y0[None].astype(y_dtype)
+            return y0[None].astype(y_dtype), np.int32(0)
         kwargs = {}
         if min_step != 0:
             kwargs['min_step'] = min_step
@@ -59,10 +59,12 @@ def integrate_scipy(prob):
         sol = solve_ivp(np_func, t_span=[t.min(), t.max()], y0=y0, t_eval=t,
                         method=solver, rtol=rtol, atol=atol,
                         **kwargs)
-        return np.ascontiguousarray(sol.y.T, dtype=y_dtype)
+        return (np.ascontiguousarray(sol.y.T, dtype=y_dtype),
+                np.int32(sol.nfev))
 
-    out_shape = jax.ShapeDtypeStruct((T, n), y_dtype)
-    ys = jax.pure_callback(host_solve, out_shape,
-                           jax.lax.stop_gradient(prob.y0),
-                           jax.lax.stop_gradient(prob.t))
-    return ys, Stats.make()
+    out_shape = (jax.ShapeDtypeStruct((T, n), y_dtype),
+                 jax.ShapeDtypeStruct((), jnp.int32))
+    ys, nfev = jax.pure_callback(host_solve, out_shape,
+                                 jax.lax.stop_gradient(prob.y0),
+                                 jax.lax.stop_gradient(prob.t))
+    return ys, Stats.make(nfe=nfev)
