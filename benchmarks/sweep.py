@@ -1,9 +1,20 @@
 """TPU performance characterisation sweep.
 
 Run on the TPU (no platform pinning):  python benchmarks/sweep.py
+Regenerate a subset:  python benchmarks/sweep.py --sections conv,mixed
+
 Writes benchmarks/PERF.md with wall-clock / throughput across regimes:
-forward solves vs batch, MXU-heavy fields, gradient paths (continuous
-adjoint vs replay vs fixed-grid backprop), and the Pallas fused kernel.
+forward solves vs batch, MXU-heavy fields, the conv ODE-Net workload,
+gradient paths (continuous adjoint vs replay vs fixed-grid backprop),
+event training, and the Pallas fused kernel.
+
+Sectioned regeneration: each measured section persists to
+benchmarks/perf_sections/<name>.md with a timestamp, and PERF.md is
+REASSEMBLED from the fragments after every section completes — so a
+killed/timed-out run keeps everything it measured, a partial `--sections`
+run updates only what it re-measured, and PERF.md's own "Regeneration
+stamps" table always discloses the age of every table (no hand edits; the
+full file, notes included, is emitted by this script).
 
 Measurement methodology (see PERF.md's own note): this container reaches
 the TPU through a tunnel whose host round trip (~3-30 ms, varies with
@@ -16,6 +27,8 @@ Chained iterations are made data-dependent through a numerically inert
 `1e-30 * acc` perturbation (underflows to zero in f32) so XLA cannot
 reorder or elide them.
 """
+import argparse
+import json
 import os
 import statistics
 import sys
@@ -27,12 +40,21 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_default_matmul_precision", "float32")
+# Persist compiled executables across runs (the conv section's fresh
+# compiles alone exceeded a 95-minute container budget in round 4).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import torchdiffeq_tpu as tde
 from torchdiffeq_tpu.adjoint import odeint_adjoint
 from torchdiffeq_tpu.models import init_mlp, mlp_apply
 from torchdiffeq_tpu.models import (init_conv_field, conv_field,
                                     conv_field_flops)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_FRAG_DIR = os.path.join(_HERE, "perf_sections")
+_STAMPS = os.path.join(_FRAG_DIR, "stamps.json")
+PEAK_BF16 = 197e12
 
 
 def chain(single, n):
@@ -99,26 +121,14 @@ def _count_nfe_train_loss(make_loss, f, params):
 
 def _count_nfe_train(f, y0, t, rtol, atol, params, tgt, adj_opts):
     """Forward+backward VF-eval count via debug.callback on the host CPU."""
-    count = [0]
+    def make_loss(cf):
+        def loss(p):
+            ys = odeint_adjoint(cf, y0, t, rtol=rtol, atol=atol, args=(p,),
+                                adjoint_options=adj_opts)
+            return jnp.mean((ys[-1] - tgt[None]) ** 2)
+        return loss
 
-    def _bump(_):
-        count[0] += 1
-
-    def cf(tt, yy, p):
-        jax.debug.callback(_bump, tt)
-        return f(tt, yy, p)
-
-    def loss(p):
-        ys = odeint_adjoint(cf, y0, t, rtol=rtol, atol=atol, args=(p,),
-                            adjoint_options=adj_opts)
-        return jnp.mean((ys[-1] - tgt[None]) ** 2)
-
-    cpu = jax.local_devices(backend='cpu')[0]
-    with jax.default_device(cpu):
-        g = jax.jit(jax.grad(loss))(params)
-        jax.block_until_ready(g)
-    jax.effects_barrier()
-    return count[0]
+    return _count_nfe_train_loss(make_loss, f, params)
 
 
 METHODOLOGY = """\
@@ -133,6 +143,10 @@ n*per_iter), each run synced by a host fetch of a scalar — i.e. they are
 device throughput with the round trip removed.  The round-2 edition of
 this file timed single dispatches, which understated throughput by up to
 the full round trip per call; MFU numbers below supersede it.
+
+Every measured section below carries its own regeneration stamp (end of
+file); `benchmarks/sweep.py --sections <a,b,...>` re-measures a subset
+and reassembles this file, so stamps may legitimately differ.
 """
 
 ROOFLINE_SECTION = """\
@@ -164,39 +178,86 @@ combinations per step, `ops/rk_step.py`) for this field shape
   difference, not memory stalls inside the stage chain.
 """
 
+PER_LANE_SECTION = """\
+## Fused per-lane adaptive dopri5 (Pallas), public API
+
+`parallel.odeint_per_sample(..., options=dict(pallas=True))` vs the vmap
+path, heterogeneously-stiff scalar ODEs, 5 output times, measured with
+dispatch amortised (20 solves inside one jit; both columns share the same
+harness, so the relative speedup is round-trip-free even though these
+numbers predate the slope-timing methodology above):
+
+| batch | rtol | pallas (ms/solve) | vmap (ms/solve) | speedup |
+|---|---|---|---|---|
+| 1024 | 1e-4 | 0.53 | 0.61 | 1.15x |
+| 8192 | 1e-4 | 0.53 | 0.61 | 1.15x |
+| 65536 | 1e-4 | 1.08 | 1.44 | 1.33x |
+| 8192 | 1e-7 | 0.68 | 0.87 | 1.27x |
+
+Values agree with `vmap(odeint)` to ~2e-6 and per-lane step counts to ±2.
+
+Correction vs the round-1 note: the previously-reported "3.7x over vmap"
+compared against a *linearly batch-scaled* vmap number; vmap wall time is
+dispatch-bound and nearly flat in batch size, so the honest on-device
+speedup is the 1.15-1.35x above.  The kernel additionally removes the
+per-call dispatch floor entirely when solves are already inside a larger
+jit region.
+"""
 
 
-def _checkpoint(lines, note):
-    """Write the sections accumulated so far to PERF.md and log progress.
+# ===========================================================================
+# Shared lazily-built benchmark fixtures
+# ===========================================================================
 
-    The full regeneration takes >1h of compiles in this container; a
-    killed/timed-out run then leaves NO artifact.  Writing at every
-    section boundary makes the file monotonically complete instead (the
-    final write is the complete regeneration)."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PERF.md")
-    with open(path, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
-    print(f"[sweep {time.strftime('%H:%M:%S')}] section done -> {note}",
-          file=sys.stderr, flush=True)
+class Ctx:
+    """Lazily-built shared fixtures so a `--sections` subset run only
+    constructs what it needs."""
 
-def main():
-    lines = [
-        "# TPU performance sweep (%s)" % jax.devices()[0].device_kind,
-        "",
-        "All at rtol=1e-7/atol=1e-9, f32 state, full-f32 matmuls, dopri5",
-        "unless noted.  VF evals/s counts one batched VF application as",
-        "`batch` evals.",
-        "",
-        METHODOLOGY,
-    ]
+    def __init__(self):
+        self._cache = {}
 
-    # --- forward solve vs batch (tiny spiral field) -----------------------
-    lines += ["## Forward solve, 2-D cubic field, T=10 outputs", "",
-              "| batch | wall (ms) | NFE | VF evals/s |", "|---|---|---|---|"]
-    params = init_mlp(jax.random.PRNGKey(0), [2, 64, 2], scale=0.1,
-                      dtype=jnp.float32)
-    field = lambda tt, yy, p: mlp_apply(p, yy ** 3)
-    t = jnp.linspace(0.0, 1.0, 10, dtype=jnp.float32)
+    def mlp(self):
+        if 'mlp' not in self._cache:
+            p3 = init_mlp(jax.random.PRNGKey(0), [256, 1024, 256],
+                          scale=0.01, dtype=jnp.float32)
+            f3 = lambda tt, yy, p: mlp_apply(p, jnp.tanh(yy))
+            self._cache['mlp'] = (p3, f3)
+        return self._cache['mlp']
+
+    def tiny(self):
+        if 'tiny' not in self._cache:
+            params = init_mlp(jax.random.PRNGKey(0), [2, 64, 2], scale=0.1,
+                              dtype=jnp.float32)
+            field = lambda tt, yy, p: mlp_apply(p, yy ** 3)
+            self._cache['tiny'] = (params, field)
+        return self._cache['tiny']
+
+    @property
+    def t10(self):
+        return jnp.linspace(0.0, 1.0, 10, dtype=jnp.float32)
+
+    @property
+    def t2(self):
+        return jnp.linspace(0.0, 1.0, 2, dtype=jnp.float32)
+
+    def y0_mlp(self, B):
+        return jax.random.normal(jax.random.PRNGKey(1), (B, 256),
+                                 jnp.float32) * 0.1
+
+    @property
+    def tgt256(self):
+        return jax.random.normal(jax.random.PRNGKey(2), (256,), jnp.float32)
+
+
+# ===========================================================================
+# Measured sections.  Each returns list[str] markdown lines.
+# ===========================================================================
+
+def sec_tiny(ctx):
+    lines = ["## Forward solve, 2-D cubic field, T=10 outputs", "",
+             "| batch | wall (ms) | NFE | VF evals/s |", "|---|---|---|---|"]
+    params, field = ctx.tiny()
+    t = ctx.t10
     for B in [256, 4096, 65536]:
         y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 2), jnp.float32)
 
@@ -210,23 +271,21 @@ def main():
                                      args=(params,))
         nfe = int(s.nfe)
         lines.append(f"| {B} | {dt*1e3:.2f} | {nfe} | {nfe*B/dt:,.0f} |")
+    return lines
 
-    # --- MXU-heavy field ---------------------------------------------------
+
+def sec_mlp_fwd(ctx):
     # MFU is computed against the chip's bf16 matmul peak (197 TFLOP/s for
     # a v5e / "v5 lite" core); 'f32' rows force full-f32 matmuls (which the
     # MXU executes as multiple bf16 passes, so their MFU ceiling is ~1/6 of
     # peak), 'bf16' rows use the TPU-default bf16 matmul passes with f32
     # state/controller — the mixed-precision mode for tolerance >= ~1e-4.
-    PEAK_BF16 = 197e12
-    _checkpoint(lines, 'Forward solve, 256-d state, 1024-wide MLP field')
-    lines += ["", "## Forward solve, 256-d state, 1024-wide MLP field", "",
-              "MFU vs the 197 TFLOP/s v5e bf16 matmul peak.", "",
-              "| batch | matmul prec | rtol | wall (ms) | TFLOP/s | MFU |",
-              "|---|---|---|---|---|---|"]
-    p3 = init_mlp(jax.random.PRNGKey(0), [256, 1024, 256], scale=0.01,
-                  dtype=jnp.float32)
-    f3 = lambda tt, yy, p: mlp_apply(p, jnp.tanh(yy))
-    t_end2 = jnp.linspace(0.0, 1.0, 2, dtype=jnp.float32)
+    lines = ["## Forward solve, 256-d state, 1024-wide MLP field", "",
+             "MFU vs the 197 TFLOP/s v5e bf16 matmul peak.", "",
+             "| batch | matmul prec | rtol | wall (ms) | TFLOP/s | MFU |",
+             "|---|---|---|---|---|---|"]
+    p3, f3 = ctx.mlp()
+    t, t_end2 = ctx.t10, ctx.t2
     for B, prec, rtol, atol, opts, ts_ in [
             (256, 'float32', 1e-5, 1e-7, None, t),
             (4096, 'float32', 1e-5, 1e-7, None, t),
@@ -234,8 +293,7 @@ def main():
             (4096, 'float32', 1e-5, 1e-7, dict(step_to_end=True), t_end2),
             (4096, 'bfloat16', 1e-3, 1e-5, None, t),
             (65536, 'bfloat16', 1e-3, 1e-5, None, t)]:
-        y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 256),
-                               jnp.float32) * 0.1
+        y0 = ctx.y0_mlp(B)
         with jax.default_matmul_precision(prec):
             def single(eps):
                 ys = tde.odeint(f3, y0 + eps, ts_, rtol=rtol, atol=atol,
@@ -251,24 +309,27 @@ def main():
             + (' +step_to_end' if opts else '')
         lines.append(f"| {B} | {tag} | {rtol:g} | {dt*1e3:.2f} "
                      f"| {tfs:.2f} | {tfs*1e12/PEAK_BF16*100:.1f}% |")
+    return lines
 
-    # --- MXU-heavy training step (fwd + adjoint bwd) ------------------------
-    _checkpoint(lines, 'Training step, 256-d state, 1024-wide MLP field')
-    lines += ["", "## Training step, 256-d state, 1024-wide MLP field "
-              "(fwd + adjoint bwd)", "",
-              "| batch | matmul prec | rtol | adjoint norm | wall (ms) "
-              "| TFLOP/s | MFU |", "|---|---|---|---|---|---|---|"]
-    tgt = jax.random.normal(jax.random.PRNGKey(2), (256,), jnp.float32)
+
+def sec_mlp_train(ctx):
+    lines = ["## Training step, 256-d state, 1024-wide MLP field "
+             "(fwd + adjoint bwd)", "",
+             "| batch | matmul prec | rtol | adjoint norm | wall (ms) "
+             "| TFLOP/s | MFU |", "|---|---|---|---|---|---|---|"]
+    p3, f3 = ctx.mlp()
+    t, tgt = ctx.t10, ctx.tgt256
     for B, prec, rtol, atol, anorm in [
             (4096, 'float32', 1e-5, 1e-7, 'default'),
             (4096, 'float32', 1e-5, 1e-7, 'seminorm'),
             (4096, 'bfloat16', 1e-3, 1e-5, 'default'),
             (4096, 'bfloat16', 1e-3, 1e-5, 'seminorm'),
             (4096, 'bfloat16', 1e-3, 1e-5, 'noise_floor')]:
-        y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 256),
-                               jnp.float32) * 0.1
+        y0 = ctx.y0_mlp(B)
         # noise_floor=4e-3 (explicit float: the state is f32, the eval
-        # noise comes from the bf16 matmul passes — docs/OPTIONS.md)
+        # noise comes from the bf16 matmul passes — docs/OPTIONS.md); the
+        # preset floors adjoint_rtol AND scales adjoint_atol by the same
+        # factor.
         adj_opts = {'seminorm': dict(norm='seminorm'),
                     'noise_floor': dict(noise_floor=4e-3)}.get(anorm)
 
@@ -293,23 +354,25 @@ def main():
         # (minor at rtol=1e-3; dominant below ~1e-4, see bench.py), so the
         # bf16 TFLOP/s / MFU figures are *useful-work* throughput, not
         # total executed work.
-        # aug backward: 1 fwd-eval + 1 VJP (~2x fwd flops) per NFE; approximate
-        # total as 2x the per-eval matmul flops (fwd evals slightly over-counted)
+        # aug backward: 1 fwd-eval + 1 VJP (~2x fwd flops) per NFE;
+        # approximate total as 2x the per-eval matmul flops (fwd evals
+        # slightly over-counted)
         flops = nfe * B * 2 * (256 * 1024 * 2) * 2
         tfs = flops / dt / 1e12
         lines.append(f"| {B} | {prec} | {rtol:g} | {anorm} | {dt*1e3:.2f} "
                      f"| {tfs:.2f} | {tfs*1e12/PEAK_BF16*100:.1f}% |")
+    return lines
 
-    # --- training-step device-time budget (VERDICT r3 item 2) ---------------
+
+def sec_budget(ctx):
     # Itemize the bf16 training step (B=4096, D=256, H=1024, T=10,
     # rtol=1e-3) into measured components that sum to the step:
     #   fwd kernel bound   n_fwd_steps x SC (isolated stage chain / step)
     #   fwd driver         F10 - bound (controller + interp fit + emission)
     #   bwd kernel bound   n_bwd_steps x AC (isolated aug-VJP chain / step)
     #   bwd driver         TR - F10 - bwd bound
-    # The bwd step count is the ON-TPU count (bf16 noise inflates the
-    # error estimate, so the TPU backward takes more steps than the same
-    # program on CPU f32 — see dev/budget_probe3.py).  axon has no host
+    # The bwd step count is the ON-TPU count (bf16 noise can inflate the
+    # error estimate — see dev/budget_probe3.py).  axon has no host
     # callbacks under jit, so counts come from driver Stats on a
     # standalone augmented solve — same aug dynamics, reversed span,
     # step_to_end, jump_t at the 8 interior output times (interface
@@ -317,8 +380,10 @@ def main():
     # needed, probe 3) — run once on the TPU and once on the host CPU.
     from torchdiffeq_tpu.ops import tableaus as _tb
     from torchdiffeq_tpu.ops.rk_step import runge_kutta_step as _rk_step
+    p3, f3 = ctx.mlp()
+    t, tgt = ctx.t10, ctx.tgt256
     B = 4096
-    y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 256), jnp.float32) * 0.1
+    y0 = ctx.y0_mlp(B)
     rtol_b, atol_b = 1e-3, 1e-5
     tmapu = jax.tree_util.tree_map
 
@@ -401,11 +466,10 @@ def main():
 
         f10 = slope_time(single_f10, n1=5, n2=20)
 
-        def _train_wall(adj_rtol=None, adj_atol=None):
+        def _train_wall(adj_opts=None):
             def loss(p):
                 ys = odeint_adjoint(f3, y0, t, rtol=rtol_b, atol=atol_b,
-                                    args=(p,), adjoint_rtol=adj_rtol,
-                                    adjoint_atol=adj_atol)
+                                    args=(p,), adjoint_options=adj_opts)
                 return jnp.mean((ys[-1] - tgt[None]) ** 2)
 
             def single(eps):
@@ -419,9 +483,12 @@ def main():
 
         # noise-floor adjoint tolerance (probe 4): backward steps below the
         # bf16 field's ~4e-3 relative eval noise resolve arithmetic noise,
-        # not trajectory error — raising adjoint_rtol to the floor drops
-        # steps with no gradient accuracy change.
-        tr_nf = _train_wall(4e-3, 4e-5)
+        # not trajectory error — raising the adjoint tolerances to the
+        # floor drops steps with no gradient accuracy change.  Measured
+        # via the PACKAGED preset (floors rtol to 4e-3 and scales atol by
+        # the same factor -> 4e-5 here), so this row is the preset as
+        # shipped, not a hand-tuned probe.
+        tr_nf = _train_wall(dict(noise_floor=4e-3))
         n_bwd_nf = _bwd_steps(4e-3, 4e-5)
 
     kern_f = n_fwd * sc
@@ -434,60 +501,61 @@ def main():
             ("bwd aug-VJP kernel bound (%.1f steps x %.3f ms)"
              % (n_bwd, ac * 1e3), kern_b),
             ("bwd driver (controller + interface injection)", drv_b)]
-    _checkpoint(lines, 'Training-step device-time budget (bf16 row above)')
-    lines += ["", "## Training-step device-time budget (bf16 row above)", "",
-              "Measured decomposition of the bf16/default training step "
-              "(B=4096, T=10):", "kernel bounds are isolated slope-timed "
-              "chains (`dev/budget_probe.py`),", "driver terms are the "
-              "remainders; backward step count is the ON-TPU count",
-              "(bf16 eval noise inflates the error estimate vs the same "
-              "program in f32 —", "`dev/budget_probe3.py`).  Rows sum to "
-              "the measured step by construction;", "the split locates "
-              "the time.", "",
-              "| component | ms | % of step |", "|---|---|---|"]
+    lines = ["## Training-step device-time budget (bf16 row above)", "",
+             "Measured decomposition of the bf16/default training step "
+             "(B=4096, T=10):", "kernel bounds are isolated slope-timed "
+             "chains (`dev/budget_probe.py`),", "driver terms are the "
+             "remainders; backward step count is the ON-TPU count",
+             "(`dev/budget_probe3.py`).  Rows sum to "
+             "the measured step by construction;", "the split locates "
+             "the time.", "",
+             "| component | ms | % of step |", "|---|---|---|"]
     for name, v in rows:
         lines.append(f"| {name} | {v*1e3:.2f} | {v/tr*100:.1f}% |")
     lines.append(f"| **measured training step** | **{tr*1e3:.2f}** | 100% |")
+    if n_bwd > n_bwd_cpu:
+        bwd_note = (f"* Backward on-TPU steps: {n_bwd:.0f} vs {n_bwd_cpu:.0f}"
+                    " for the same augmented program on the host CPU (f32):"
+                    " the surplus is the bf16 noise floor, not rejection"
+                    " thrash (every step accepts, `dev/budget_probe4.py`).")
+    else:
+        bwd_note = (f"* Backward on-TPU steps: {n_bwd:.0f} — matches the"
+                    f" same augmented program on the host CPU (f32,"
+                    f" {n_bwd_cpu:.0f} steps): at rtol=1e-3 the bf16 eval"
+                    " noise does not add steps for this field.")
     lines += ["",
               f"* Forward solve (T=10) measured alone: {f10*1e3:.2f} ms "
               f"({nfe_fwd} NFE, {n_fwd} steps).",
-              f"* Backward on-TPU steps: {n_bwd:.0f} vs {n_bwd_cpu:.0f} for "
-              "the same augmented program on the host", "  CPU (f32): the "
-              "surplus is the bf16 noise floor, not rejection thrash "
-              "(every step", "  accepts, `dev/budget_probe4.py`).  Counts "
-              "from a standalone augmented solve", "  with interface "
-              "landings (`dev/budget_probe3.py`).",
-              f"* Noise-floor adjoint tolerance "
-              f"(`adjoint_rtol=4e-3, adjoint_atol=4e-5`; packaged as "
-              f"`adjoint_options=dict(noise_floor=4e-3)`): "
+              bwd_note + "  Counts from a standalone augmented solve with "
+              "interface landings (`dev/budget_probe3.py`).",
+              f"* Noise-floor adjoint preset "
+              f"(`adjoint_options=dict(noise_floor=4e-3)`, which floors "
+              f"adjoint_rtol at 4e-3 and scales adjoint_atol to 4e-5): "
               f"{tr_nf*1e3:.2f} ms", f"  (~{n_bwd_nf:.1f} bwd steps) — "
-              f"{tr/tr_nf:.2f}x faster with gradient error vs a tight-"
-              "tolerance", "  f32 reference UNCHANGED (probe 4: the extra "
-              "default-tolerance steps resolve", "  arithmetic noise below "
-              "the bf16 eval floor, which cannot improve the gradient)."]
+              f"{tr/tr_nf:.2f}x vs the default-tolerance "
+              "step, with gradient error vs a tight-tolerance",
+              "  f32 reference UNCHANGED (probe 4: default-tolerance "
+              "backward steps below the", "  bf16 eval floor resolve "
+              "arithmetic noise, which cannot improve the gradient)."]
+    return lines
 
-    # --- conv-field workload (ODE-Net MNIST shape) ---------------------------
+
+def sec_conv(ctx):
     # The reference's flagship training hot path: its ODEBlock integrates a
     # time-concat conv field (ConcatConv2d + GroupNorm) over a
     # (B, 6, 6, 64) state, t in [0, 1], rtol=atol=1e-3 (reference
-    # examples/odenet_mnist.py:76-134 with the default --tol).  `dim` is the
-    # channel count; dim=64 is the reference's size (it fills only half the
-    # MXU's 128 output lanes — a model property, see note below), dim=128
-    # fills them.
-    # the roofline is static text for the MLP tables above — append it
-    # BEFORE the (slow, many fresh compiles) conv section so a killed run's
-    # checkpointed file still carries the stage-chain ceiling context.
-    lines += ["", ROOFLINE_SECTION]
-    _checkpoint(lines, 'Conv-field workload (ODE-Net MNIST shape):')
-    lines += ["", "## Conv-field workload (ODE-Net MNIST shape): "
-              "(B, 6, 6, dim) state, T=2 endpoint", "",
-              "rtol=atol=1e-3 (the reference example's default).  'train' = "
-              "fwd dopri5 +", "continuous-adjoint bwd of an MSE loss; MFU vs "
-              "the 197 TFLOP/s bf16 peak", "counts only the two 3x3 convs "
-              "per VF eval (GroupNorm/relu are bandwidth).", "",
-              "| mode | batch | dim | matmul prec | wall (ms) | NFE "
-              "| TFLOP/s | MFU |", "|---|---|---|---|---|---|---|---|"]
-    t2c = jnp.linspace(0.0, 1.0, 2, dtype=jnp.float32)
+    # examples/odenet_mnist.py:76-134 with the default --tol).  `dim` is
+    # the channel count; dim=64 is the reference's size, dim=128 fills the
+    # MXU's output lanes.
+    lines = ["## Conv-field workload (ODE-Net MNIST shape): "
+             "(B, 6, 6, dim) state, T=2 endpoint", "",
+             "rtol=atol=1e-3 (the reference example's default).  'train' = "
+             "fwd dopri5 +", "continuous-adjoint bwd of an MSE loss; MFU vs "
+             "the 197 TFLOP/s bf16 peak", "counts only the two 3x3 convs "
+             "per VF eval (GroupNorm/relu are bandwidth).", "",
+             "| mode | batch | dim | matmul prec | wall (ms) | NFE "
+             "| TFLOP/s | MFU |", "|---|---|---|---|---|---|---|---|"]
+    t2c = ctx.t2
     cf = lambda tt, yy, p: conv_field(p, tt, yy)
     ctgt_cache = {}
     for mode, B, dim, prec in [
@@ -496,6 +564,7 @@ def main():
             ('fwd', 1024, 64, 'bfloat16'),
             ('fwd', 1024, 128, 'bfloat16'),
             ('train', 128, 64, 'float32'),
+            ('train', 128, 64, 'bfloat16'),
             ('train', 1024, 64, 'bfloat16'),
             ('train', 1024, 128, 'bfloat16')]:
         cp = init_conv_field(jax.random.PRNGKey(0), dim)
@@ -544,31 +613,39 @@ def main():
                          f"| {nfe} | {tfs:.2f} "
                          f"| {tfs*1e12/PEAK_BF16*100:.1f}% |")
     lines += ["",
-              "* dim=64 (the reference's channel count) caps MXU output-lane "
-              "utilisation at", "  ~50% by construction: XLA lowers the 3x3 "
-              "SAME conv to an implicit GEMM with", "  N = dim = 64 output "
-              "columns against the MXU's 128 lanes.  The dim=128 rows",
-              "  show the same driver at full lanes — the conv-field MFU "
-              "ceiling is a model", "  property, not solver overhead.",
+              "* The conv workload is BANDWIDTH-bound, not MXU-bound: each "
+              "3x3 conv is a", "  few-microsecond implicit GEMM, while the "
+              "three GroupNorms + relus +", "  time-concats around it are "
+              "~10 reduction/elementwise passes over the", "  state per "
+              "eval (see `dev/conv_probe.py` for the component split).  "
+              "The", "  MFU column (matmul flops only, by convention) "
+              "therefore mostly measures", "  how little of each eval is "
+              "matmul work at dim=64.",
+              "* dim=64 (the reference's channel count) additionally caps "
+              "MXU output-lane", "  utilisation at ~50%: XLA lowers the "
+              "3x3 SAME conv to an implicit GEMM with", "  N = dim = 64 "
+              "output columns against the MXU's 128 lanes.  The dim=128 "
+              "rows", "  show the same driver at full lanes.",
               "* K is also thin: 9*(dim+1) = 585 contraction depth per conv "
               "keeps each GEMM", "  pass short relative to its launch/"
               "epilogue, unlike the 1024-deep MLP rows."]
+    return lines
 
-    # --- mixed-precision error control (bf16 state) -------------------------
-    _checkpoint(lines, 'Mixed-precision error control: bfloat16 state,')
-    lines += ["", "## Mixed-precision error control: bfloat16 state, "
-              "f32 error/controller", "",
-              "`options=dict(error_dtype=jnp.float32)` accumulates the "
-              "embedded error,", "its tolerance ratio, and the norm in f32 "
-              "while state/stages stay bf16.", "256-d state, 1024-wide MLP "
-              "field, batch 4096, T=2 endpoint solve.", "",
-              "| rtol | f32-state steps | bf16 steps | bf16+f32err steps "
-              "| bf16+f32err wall (ms) | f32 wall (ms) |",
-              "|---|---|---|---|---|---|"]
+
+def sec_mixed(ctx):
+    lines = ["## Mixed-precision error control: bfloat16 state, "
+             "f32 error/controller", "",
+             "`options=dict(error_dtype=jnp.float32)` accumulates the "
+             "embedded error,", "its tolerance ratio, and the norm in f32 "
+             "while state/stages stay bf16.", "256-d state, 1024-wide MLP "
+             "field, batch 4096, T=2 endpoint solve.", "",
+             "| rtol | f32-state steps | bf16 steps | bf16+f32err steps "
+             "| bf16+f32err wall (ms) | f32 wall (ms) |",
+             "|---|---|---|---|---|---|"]
+    p3, f3 = ctx.mlp()
     B = 4096
-    y0b = jax.random.normal(jax.random.PRNGKey(1), (B, 256),
-                            jnp.float32) * 0.1
-    t2 = jnp.linspace(0.0, 1.0, 2, dtype=jnp.float32)
+    y0b = ctx.y0_mlp(B)
+    t2 = ctx.t2
     p3h = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), p3)
     for rtol, atol in [(1e-3, 1e-5), (1e-4, 1e-6), (1e-5, 1e-7)]:
         with jax.default_matmul_precision('bfloat16'):
@@ -617,11 +694,14 @@ def main():
               "(measured ~15x at", "1e-5, ~150x at 1e-7 on a unit-magnitude "
               "MLP field).  Tolerances below the", "floor need f32 fields "
               "(set `jax_default_matmul_precision='float32'`)."]
+    return lines
 
-    # --- gradient paths ----------------------------------------------------
-    _checkpoint(lines, 'Gradient paths, batch 1024, 2-D cubic field, T=10')
-    lines += ["", "## Gradient paths, batch 1024, 2-D cubic field, T=10", "",
-              "| path | wall (ms) |", "|---|---|"]
+
+def sec_grad(ctx):
+    lines = ["## Gradient paths, batch 1024, 2-D cubic field, T=10", "",
+             "| path | wall (ms) |", "|---|---|"]
+    params, field = ctx.tiny()
+    t = ctx.t10
     B = 1024
     y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 2), jnp.float32)
 
@@ -665,20 +745,20 @@ def main():
 
         dt = slope_time(single)
         lines.append(f"| {name} | {dt*1e3:.2f} |")
+    return lines
 
-    # --- CNF training step (grad-inside-the-field) ---------------------------
+
+def sec_cnf(ctx):
     # The reference's examples/cnf.py workload: augmented (z, logp) tuple
     # state whose field computes an exact divergence with per-dim jvp probes
     # INSIDE the solve, trained via the continuous adjoint (second-order
     # autodiff through the solver).
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        'examples'))
+    sys.path.insert(0, os.path.join(os.path.dirname(_HERE), 'examples'))
     import cnf as cnf_mod
     D, WIDTH, HID, BCNF = 2, 32, 32, 512
     hp = cnf_mod.init_hyper_net(jax.random.PRNGKey(0), D, HID, WIDTH)
     zs = jax.random.normal(jax.random.PRNGKey(1), (BCNF, D), jnp.float32)
-    t_cnf = jnp.array([10.0, 0.0], jnp.float32)  # reverse-time density solve
+    t_cnf = jnp.array([10.0, 0.0], jnp.float32)  # reverse-time density
 
     def cnf_func(tt, state, p):
         return cnf_mod.augmented_dynamics(tt, state, p, D, WIDTH)
@@ -699,22 +779,75 @@ def main():
     dt_cnf = slope_time(single_cnf, n1=5, n2=20)
     _, s_cnf = tde.odeint_with_stats(cnf_func, (zs, jnp.zeros((BCNF, 1))),
                                      t_cnf, rtol=1e-5, atol=1e-7, args=(hp,))
-    _checkpoint(lines, 'CNF training step (reference examples/cnf.py shape)')
-    lines += ["", "## CNF training step (reference examples/cnf.py shape)",
-              "",
-              "Batch 512 two-circles CNF, width-32 planar mixture with "
-              "hypernet weights,", "exact-trace divergence via per-dim "
-              "`jax.jvp` probes inside the field,", "reverse-time (t=10 -> "
-              "0) solve at rtol=1e-5, continuous-adjoint training", "step "
-              "(= second-order autodiff through the solve).", "",
-              f"| fwd NFE | training step wall (ms) |", "|---|---|",
-              f"| {int(s_cnf.nfe)} | {dt_cnf*1e3:.2f} |"]
+    return ["## CNF training step (reference examples/cnf.py shape)", "",
+            "Batch 512 two-circles CNF, width-32 planar mixture with "
+            "hypernet weights,", "exact-trace divergence via per-dim "
+            "`jax.jvp` probes inside the field,", "reverse-time (t=10 -> "
+            "0) solve at rtol=1e-5, continuous-adjoint training", "step "
+            "(= second-order autodiff through the solve).", "",
+            "| fwd NFE | training step wall (ms) |", "|---|---|",
+            f"| {int(s_cnf.nfe)} | {dt_cnf*1e3:.2f} |"]
 
-    # --- pallas fused kernel ------------------------------------------------
-    _checkpoint(lines, 'Fused Pallas RK4 vs lax.scan (per 10k steps, (2,B)')
-    lines += ["", "## Fused Pallas RK4 vs lax.scan (per 10k steps, (2,B) "
-              "layout)", "",
-              "| batch | scan (ms) | pallas (ms) |", "|---|---|---|"]
+
+def sec_event(ctx):
+    # Event-training row (reference protocol examples/bouncing_ball.py:
+    # gradients of event times wrt physical parameters through
+    # odeint_event's IFT layer).  One training step = value_and_grad of
+    # (event_t - target)^2 wrt (pos0, vel0, gravity) for a single bounce
+    # at rtol=atol=1e-6 (f32 on TPU).
+    from torchdiffeq_tpu import odeint_event
+
+    def dynamics(t, state, gravity):
+        pos, vel = state
+        return (vel, -gravity * jnp.ones_like(vel))
+
+    def event_fn(t, state):
+        return state[0] - 0.3
+
+    target = jnp.float32(1.1)
+
+    def loss(theta):
+        pos0, vel0, gravity = theta
+        ev_t, _ = odeint_event(
+            lambda tt, s: dynamics(tt, s, gravity),
+            (pos0, vel0), jnp.float32(0.), event_fn=event_fn,
+            rtol=1e-6, atol=1e-6)
+        return (ev_t - target) ** 2
+
+    theta0 = (jnp.float32(10.0), jnp.float32(-2.0), jnp.float32(9.8))
+
+    def single(eps):
+        th = jax.tree_util.tree_map(lambda a: a + eps.astype(a.dtype),
+                                    theta0)
+        l, g = jax.value_and_grad(loss)(th)
+        return l + sum(jax.tree_util.tree_leaves(g))
+
+    dt_ev = slope_time(single, n1=5, n2=20)
+
+    # same step on the host CPU for scale (latency-bound sequential work)
+    cpu = jax.local_devices(backend='cpu')[0]
+    with jax.default_device(cpu):
+        dt_cpu = slope_time(single, n1=5, n2=20)
+
+    return ["## Event-training step (bouncing-ball protocol)", "",
+            "One training step = `value_and_grad` of `(event_t - target)^2` "
+            "wrt the three", "physical parameters (initial height/velocity, "
+            "gravity) through", "`odeint_event`'s implicit-function-theorem "
+            "gradient (reference protocol:", "`examples/bouncing_ball.py` "
+            "finite-difference-checked event-time grads).", "Scalar state: "
+            "this is latency-bound sequential work, not MXU work — the",
+            "row demonstrates TPU residency cost, not throughput (embed "
+            "event solves in", "larger jit programs or batch them via "
+            "`parallel.odeint_per_sample`).", "",
+            "| device | training step wall (ms) |", "|---|---|",
+            f"| TPU | {dt_ev*1e3:.2f} |",
+            f"| host CPU | {dt_cpu*1e3:.2f} |"]
+
+
+def sec_pallas_rk4(ctx):
+    lines = ["## Fused Pallas RK4 vs lax.scan (per 10k steps, (2,B) "
+             "layout)", "",
+             "| batch | scan (ms) | pallas (ms) |", "|---|---|---|"]
     from torchdiffeq_tpu.ops.pallas_kernels import (rk4_integrate,
                                                     _rk4_step_inline)
     A = jnp.array([[-0.1, 2.0], [-2.0, -0.1]], jnp.float32)
@@ -751,13 +884,10 @@ def main():
         t_scan = steps_slope(scan_n)
         t_pal = steps_slope(pallas_n)
         lines.append(f"| {B} | {t_scan*1e3:.2f} | {t_pal*1e3:.2f} |")
+    return lines
 
-    # --- per-lane adaptive dopri5 (static section: measured with the
-    # dispatch-amortised harness in tests/test_pallas.py-style loops; kept
-    # verbatim so regenerating this file preserves the published numbers) --
-    lines += ["", PER_LANE_SECTION.rstrip()]
 
-    # --- TPU-resident f64 stiff tier -----------------------------------------
+def sec_stiff(ctx):
     # The TPU has no f64 LU, but f64 elementwise/matmul are native; stage
     # solves go through ops/linsolve.py (f32 LU + iterative refinement with
     # f64 residuals), so tight-tolerance stiff solves no longer fall back
@@ -765,20 +895,19 @@ def main():
     # column is the same f64 program on the host backend (native LAPACK).
     # This section runs LAST: enabling x64 mid-process would perturb the
     # weak-typed python-float scalars every earlier section relies on.
-    _checkpoint(lines, 'Stiff tier, f64 on the TPU (f32-LU + iterative')
-    lines += ["", "## Stiff tier, f64 on the TPU (f32-LU + iterative "
-              "refinement stage solves)", "",
-              "lambda=1e4 linear-relaxation problem y' = -lam*(y - t) + 1, "
-              "rtol=1e-8/atol=1e-10,", "T=5 outputs.  (The field is "
-              "transcendental-free on purpose: XLA's f64 `cos`", "on this "
-              "TPU is only ~4e-12 accurate — 1000x worse than true f64 — "
-              "and at", "lam=1e4 that noise enters the stage residual at "
-              "~4e-8, above the 1e-8-class", "stage tolerance, inflating "
-              "radau5a's step count ~70x.  Polynomial/rational", "fields "
-              "hit no such floor: step counts below match CPU native-LAPACK "
-              "exactly.)", "",
-              "| method | steps | TPU wall (ms/solve) | CPU wall (ms/solve) |",
-              "|---|---|---|---|"]
+    lines = ["## Stiff tier, f64 on the TPU (f32-LU + iterative "
+             "refinement stage solves)", "",
+             "lambda=1e4 linear-relaxation problem y' = -lam*(y - t) + 1, "
+             "rtol=1e-8/atol=1e-10,", "T=5 outputs.  (The field is "
+             "transcendental-free on purpose: XLA's f64 `cos`", "on this "
+             "TPU is only ~4e-12 accurate — 1000x worse than true f64 — "
+             "and at", "lam=1e4 that noise enters the stage residual at "
+             "~4e-8, above the 1e-8-class", "stage tolerance, inflating "
+             "radau5a's step count ~70x.  Polynomial/rational", "fields "
+             "hit no such floor: step counts below match CPU native-LAPACK "
+             "exactly.)", "",
+             "| method | steps | TPU wall (ms/solve) | CPU wall (ms/solve) |",
+             "|---|---|---|---|"]
     jax.config.update("jax_enable_x64", True)
     lam = 1e4
     fs = lambda tt, yy: -lam * (yy - tt) + 1.0
@@ -806,39 +935,115 @@ def main():
               "solve.  On-TPU residency wins when the stiff "
               "solve is embedded in a", "larger jit program (no "
               "host round trip) or batched over many systems."]
+    return lines
 
+
+# Canonical order: (name, fn).  'stiff' MUST stay last (it enables x64
+# in-process).  Static text (methodology/roofline/per-lane) is interleaved
+# at assembly time.
+SECTIONS = [
+    ('tiny', sec_tiny),
+    ('mlp_fwd', sec_mlp_fwd),
+    ('mlp_train', sec_mlp_train),
+    ('budget', sec_budget),
+    ('conv', sec_conv),
+    ('mixed', sec_mixed),
+    ('grad', sec_grad),
+    ('cnf', sec_cnf),
+    ('event', sec_event),
+    ('pallas_rk4', sec_pallas_rk4),
+    ('stiff', sec_stiff),
+]
+# static blocks inserted AFTER the named section's fragment
+_STATIC_AFTER = {
+    'budget': ROOFLINE_SECTION,
+    'pallas_rk4': PER_LANE_SECTION,
+}
+
+
+def _load_stamps():
+    if os.path.exists(_STAMPS):
+        with open(_STAMPS) as fh:
+            return json.load(fh)
+    return {}
+
+
+def _assemble():
+    """Rebuild PERF.md from the persisted fragments + static text."""
+    stamps = _load_stamps()
+    lines = [
+        "# TPU performance sweep (%s)" % jax.devices()[0].device_kind,
+        "",
+        "All at rtol=1e-7/atol=1e-9, f32 state, full-f32 matmuls, dopri5",
+        "unless noted.  VF evals/s counts one batched VF application as",
+        "`batch` evals.",
+        "",
+        METHODOLOGY,
+    ]
+    missing = []
+    for name, _fn in SECTIONS:
+        frag = os.path.join(_FRAG_DIR, name + ".md")
+        if os.path.exists(frag):
+            with open(frag) as fh:
+                lines += ["", fh.read().rstrip()]
+        else:
+            missing.append(name)
+        if name in _STATIC_AFTER:
+            lines += ["", _STATIC_AFTER[name].rstrip()]
+    lines += ["", "## Regeneration stamps", "",
+              "Emitted by `benchmarks/sweep.py` (one fragment per measured "
+              "section;", "`--sections` reruns a subset, so stamps may "
+              "differ — the stamp is the", "measurement date of every "
+              "table above).", "",
+              "| section | regenerated |", "|---|---|"]
+    for name, _fn in SECTIONS:
+        stamp = stamps.get(name, 'NEVER — not yet measured')
+        lines.append(f"| {name} | {stamp} |")
+    if missing:
+        lines += ["", f"Sections never measured on this checkout: "
+                  f"{', '.join(missing)}."]
     out = "\n".join(lines) + "\n"
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PERF.md")
-    with open(path, "w") as fh:
+    with open(os.path.join(_HERE, "PERF.md"), "w") as fh:
         fh.write(out)
-    print(out)
+    return out
 
 
-PER_LANE_SECTION = """\
-## Fused per-lane adaptive dopri5 (Pallas), public API
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--sections', default=None,
+                    help='comma-separated subset of: '
+                         + ','.join(n for n, _ in SECTIONS))
+    ap.add_argument('--list', action='store_true')
+    args = ap.parse_args()
+    if args.list:
+        print(','.join(n for n, _ in SECTIONS))
+        return
+    selected = ([s.strip() for s in args.sections.split(',')]
+                if args.sections else [n for n, _ in SECTIONS])
+    unknown = set(selected) - {n for n, _ in SECTIONS}
+    if unknown:
+        raise SystemExit(f"unknown sections: {sorted(unknown)}")
 
-`parallel.odeint_per_sample(..., options=dict(pallas=True))` vs the vmap
-path, heterogeneously-stiff scalar ODEs, 5 output times, measured with
-dispatch amortised (20 solves inside one jit; both columns share the same
-harness, so the relative speedup is round-trip-free even though these
-numbers predate the slope-timing methodology above):
-
-| batch | rtol | pallas (ms/solve) | vmap (ms/solve) | speedup |
-|---|---|---|---|---|
-| 1024 | 1e-4 | 0.53 | 0.61 | 1.15x |
-| 8192 | 1e-4 | 0.53 | 0.61 | 1.15x |
-| 65536 | 1e-4 | 1.08 | 1.44 | 1.33x |
-| 8192 | 1e-7 | 0.68 | 0.87 | 1.27x |
-
-Values agree with `vmap(odeint)` to ~2e-6 and per-lane step counts to ±2.
-
-Correction vs the round-1 note: the previously-reported "3.7x over vmap"
-compared against a *linearly batch-scaled* vmap number; vmap wall time is
-dispatch-bound and nearly flat in batch size, so the honest on-device
-speedup is the 1.15-1.35x above.  The kernel additionally removes the
-per-call dispatch floor entirely when solves are already inside a larger
-jit region.
-"""
+    os.makedirs(_FRAG_DIR, exist_ok=True)
+    ctx = Ctx()
+    for name, fn in SECTIONS:
+        if name not in selected:
+            continue
+        t0 = time.time()
+        print(f"[sweep {time.strftime('%H:%M:%S')}] measuring {name} ...",
+              file=sys.stderr, flush=True)
+        lines = fn(ctx)
+        with open(os.path.join(_FRAG_DIR, name + ".md"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        stamps = _load_stamps()
+        stamps[name] = time.strftime('%Y-%m-%d %H:%M')
+        with open(_STAMPS, "w") as fh:
+            json.dump(stamps, fh, indent=1, sort_keys=True)
+        _assemble()
+        print(f"[sweep {time.strftime('%H:%M:%S')}] {name} done "
+              f"({time.time()-t0:.0f}s) -> PERF.md reassembled",
+              file=sys.stderr, flush=True)
+    print(_assemble())
 
 
 if __name__ == "__main__":

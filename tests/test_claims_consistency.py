@@ -85,6 +85,29 @@ def test_parity_geomean_range_covers_snapshot(readme):
         f"[{min(geos)}, {max(geos)}]")
 
 
+def test_perf_md_sections_all_measured_and_fresh():
+    """VERDICT r4 item 1: every PERF.md section must carry a regeneration
+    stamp (emitted by benchmarks/sweep.py, no hand edits), none may be
+    'NEVER', and no section may be more than 7 days older than the newest
+    one — a stale-section mix (round-3 tables in a round-4 file) fails."""
+    import datetime
+
+    perf = _read(os.path.join(ROOT, 'benchmarks', 'PERF.md'))
+    assert '## Regeneration stamps' in perf, (
+        "PERF.md lost its stamps section — regenerate with sweep.py")
+    assert 'NEVER' not in perf, "PERF.md has never-measured sections"
+
+    stamps = re.findall(r'^\| (\w+) \| (\d{4}-\d{2}-\d{2}) \d{2}:\d{2} \|',
+                        perf, re.MULTILINE)
+    assert len(stamps) >= 10, f"expected >=10 section stamps, got {stamps}"
+    dates = [datetime.date.fromisoformat(d) for _, d in stamps]
+    spread = (max(dates) - min(dates)).days
+    assert spread <= 7, (
+        f"PERF.md mixes measurement dates {min(dates)}..{max(dates)} "
+        f"({spread} days apart) — rerun `python benchmarks/sweep.py` "
+        f"(or `--sections` for the stale ones)")
+
+
 def test_perf_percentages_match_perf_md(readme):
     perf = _read(os.path.join(ROOT, 'benchmarks', 'PERF.md'))
 

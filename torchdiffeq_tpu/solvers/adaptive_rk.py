@@ -200,6 +200,14 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
                     err).astype(jnp.int32)
     err = jnp.where((err == OK) & ~tall_finite(y0),
                     ERR_NONFINITE_STATE, err).astype(jnp.int32)
+    # A tripped guard freezes the carry by forcing `accept = False` below
+    # (every state/coeff/index update is already gated on accept) plus
+    # per-scalar gates on dt/t0/counters — the loop cond then exits on
+    # `err != OK`.  This replaces a whole-carry select between the stepped
+    # and frozen trees (jnp.where over y/f/coeff/out per step), which cost
+    # several state-passes of HBM traffic per step on large states for a
+    # path that fires at most once per solve.
+    ok = err == OK
 
     # --- step_t / jump_t truncation (rk_common.py:293-311) ----------------
     false = jnp.asarray(False)
@@ -272,6 +280,7 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
     accept = error_ratio <= 1
     accept = jnp.where(dt > cfg.max_step, False, accept)
     accept = jnp.where(dt <= cfg.min_step, True, accept)
+    accept = accept & ok  # guard trip: freeze (see `ok` above)
 
     # --- jump_t: re-evaluate f on the far side of the discontinuity --------
     jump_reeval = false
@@ -369,23 +378,27 @@ def _adaptive_step(c: _Carry, func, cfg: AdaptiveConfig, step_t, jump_t,
         jump_idx = jnp.where(accept & on_jump_t & (jump_idx != jump_t.shape[0] - 1),
                              jump_idx + 1, jump_idx)
 
-    stepped = c._replace(
-        y1=y_next, f1=f_next, t0=t0, t1=t_next, dt=dt_next, coeff=coeff,
-        t0_lo=t0_lo, t1_lo=t_lo_next,
+    # Guard-trip freeze: every tree-valued update above is gated on
+    # `accept` (forced False on a trip); the remaining scalar fields are
+    # gated here individually — free selects, no whole-carry pass.
+    one = jnp.int32(1)
+    zero_i = jnp.int32(0)
+    ok_i = jnp.where(ok, one, zero_i)
+    return c._replace(
+        y1=y_next, f1=f_next,
+        t0=jnp.where(ok, t0, c.t0), t1=t_next,
+        dt=jnp.where(ok, dt_next, c.dt), coeff=coeff,
+        t0_lo=(jnp.where(ok, t0_lo, c.t0_lo) if use_dw else c.t0_lo),
+        t1_lo=t_lo_next,
         prev_ratio=prev_ratio, prev_ratio2=prev_ratio2,
         step_idx=step_idx, jump_idx=jump_idx,
-        nfe=c.nfe + nfe + jump_reeval.astype(jnp.int32),
-        n_steps=c.n_steps + 1,
+        nfe=c.nfe + jnp.where(ok, jnp.int32(nfe), zero_i)
+            + jump_reeval.astype(jnp.int32),
+        n_steps=c.n_steps + ok_i,
         n_acc=c.n_acc + accept.astype(jnp.int32),
-        n_rej=c.n_rej + (~accept).astype(jnp.int32),
-        steps_in_interval=c.steps_in_interval + 1)
-
-    # On a guard trip, freeze the state and record the error code
-    # (tree-wise where keeps shard_map varying-axes types consistent).
-    ok = err == OK
-    frozen = c._replace(err=err)
-    return jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b),
-                                  stepped, frozen)
+        n_rej=c.n_rej + (ok & ~accept).astype(jnp.int32),
+        steps_in_interval=c.steps_in_interval + ok_i,
+        err=err)
 
 
 # Above this output-buffer size (T * n elements), the per-step vectorised
@@ -513,12 +526,16 @@ def integrate(func, y0, ts, cfg: AdaptiveConfig):
                 # after the loop: no emission work, and steps_in_interval
                 # need never reset (the only boundary ends the loop).
                 return c2
-            # emit every output time first covered by this step
+            # emit every output time first covered by this step; nothing on
+            # a guard-trip iteration (the frozen carry keeps the LAST
+            # accepted step's window — re-emitting it would advance i_out
+            # past the truly-written rows and under-poison the tail)
             if use_dw:
                 emit_mask = ((dw.dw_diff(ts, c2.t0, c2.t0_lo) > 0)
                              & (dw.dw_diff(ts, c2.t1, c2.t1_lo) <= 0))
             else:
                 emit_mask = (ts > c2.t0) & (ts <= c2.t1)
+            emit_mask = emit_mask & (c2.err == OK)
             if cfg.step_to_end:
                 # steps land exactly ON output times: the window holds at
                 # most the boundary itself — copy the step state directly
