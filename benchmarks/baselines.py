@@ -77,19 +77,49 @@ def iter_stats(times_s):
             statistics.median(times_s[1:]) * 1e3 if len(times_s) > 1 else float('nan'))
 
 
+def make_shared_latent_weights(seed=0):
+    """One numpy RNG -> identical initial weights for BOTH frameworks, so
+    the per-iteration losses are directly comparable (the event-training
+    baseline already matches to 4 decimals; this gives the latent-ODE rows
+    the same property).  Layers use the torch nn.Linear default init
+    (U(-1/sqrt(fan_in), +1/sqrt(fan_in)) for weight and bias)."""
+    rng = np.random.RandomState(seed + 1234)
+
+    def lin(fan_in, fan_out):
+        bound = 1.0 / np.sqrt(fan_in)
+        w = rng.uniform(-bound, bound, (fan_in, fan_out)).astype(np.float32)
+        b = rng.uniform(-bound, bound, (fan_out,)).astype(np.float32)
+        return w, b
+
+    return dict(
+        func=[lin(LATENT, NHID), lin(NHID, NHID), lin(NHID, LATENT)],
+        i2h=lin(OBS + RNNHID, RNNHID),
+        h2o=lin(RNNHID, 2 * LATENT),
+        dec=[lin(LATENT, NHID), lin(NHID, OBS)],
+    )
+
+
+def make_shared_eps(niters, nspiral, seed=0):
+    """The reparameterisation noise per (iteration, spiral), shared by both
+    frameworks so the ELBO sequences are on identical z0 draws."""
+    rng = np.random.RandomState(seed + 4321)
+    return rng.randn(niters, nspiral, LATENT).astype(np.float32)
+
+
 # --------------------------------------------------------------------------
 # latent ODE -- ours
 # --------------------------------------------------------------------------
-def latent_ode_ours(trajs_np, ts_np, niters, seed=0):
+def latent_ode_ours(trajs_np, ts_np, niters, shared_w, eps_seq):
     trajs = jnp.asarray(trajs_np)
     ts = jnp.asarray(ts_np)
-    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
+    mk = lambda layers: [dict(w=jnp.asarray(w), b=jnp.asarray(b))
+                         for (w, b) in layers]
     params = dict(
-        func=init_mlp(k1, [LATENT, NHID, NHID, LATENT]),
-        rnn_w=jax.random.normal(k2, (OBS + RNNHID, RNNHID), jnp.float32) * 0.1,
-        rnn_b=jnp.zeros((RNNHID,), jnp.float32),
-        rnn_out=init_mlp(k3, [RNNHID, 2 * LATENT]),
-        dec=init_mlp(k4, [LATENT, NHID, OBS]),
+        func=mk(shared_w['func']),
+        rnn_w=jnp.asarray(shared_w['i2h'][0]),
+        rnn_b=jnp.asarray(shared_w['i2h'][1]),
+        rnn_out=mk([shared_w['h2o']]),
+        dec=mk(shared_w['dec']),
     )
 
     def encode(params, traj):
@@ -105,36 +135,34 @@ def latent_ode_ours(trajs_np, ts_np, niters, seed=0):
 
     noise_std = 0.3
 
-    def elbo(params, key):
-        def single(traj, key):
+    def elbo(params, eps_batch):
+        def single(traj, eps):
             mean, logvar = encode(params, traj)
-            eps = jax.random.normal(key, mean.shape)
             z0 = mean + eps * jnp.exp(0.5 * logvar)
             zs = odeint_adjoint(field, z0, ts, args=(params['func'],),
                                 rtol=RTOL, atol=ATOL)
-            pred = mlp_apply(params['dec'], zs)
+            # decoder activation matches the reference module (ReLU)
+            pred = mlp_apply(params['dec'], zs, activation=jax.nn.relu)
             logpx = -0.5 * jnp.sum(((pred - traj) / noise_std) ** 2
                                    + np.log(2 * np.pi * noise_std ** 2))
             kl = -0.5 * jnp.sum(1 + logvar - mean ** 2 - jnp.exp(logvar))
             return -(logpx - kl)
-        keys = jax.random.split(key, trajs.shape[0])
-        return jnp.mean(jax.vmap(single)(trajs, keys))
+        return jnp.mean(jax.vmap(single)(trajs, eps_batch))
 
     opt = optax.adam(0.01)
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, key):
-        loss, grads = jax.value_and_grad(elbo)(params, key)
+    def step(params, opt_state, eps_batch):
+        loss, grads = jax.value_and_grad(elbo)(params, eps_batch)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    key = jax.random.PRNGKey(seed + 1)
     losses, times = [], []
-    for _ in range(niters):
-        key, skey = jax.random.split(key)
+    for i in range(niters):
         t0 = time.perf_counter()
-        params, opt_state, loss = step(params, opt_state, skey)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(eps_seq[i]))
         loss = float(loss)
         times.append(time.perf_counter() - t0)
         losses.append(loss)
@@ -151,9 +179,8 @@ def latent_ode_ours(trajs_np, ts_np, niters, seed=0):
 # --------------------------------------------------------------------------
 # latent ODE -- reference (torch modules per examples/latent_ode.py:108-159)
 # --------------------------------------------------------------------------
-def latent_ode_ref(trajs_np, ts_np, niters, seed=0):
+def latent_ode_ref(trajs_np, ts_np, niters, shared_w, eps_seq):
     from torchdiffeq import odeint_adjoint as t_odeint
-    torch.manual_seed(seed)
 
     class Field(torch.nn.Module):
         def __init__(self):
@@ -181,6 +208,23 @@ def latent_ode_ref(trajs_np, ts_np, niters, seed=0):
     field, rnn = Field(), Rnn()
     dec = torch.nn.Sequential(torch.nn.Linear(LATENT, NHID), torch.nn.ReLU(),
                               torch.nn.Linear(NHID, OBS))
+
+    # load the SAME initial weights as the JAX side (numpy (in, out) ->
+    # torch Linear (out, in) transpose)
+    def load_lin(mod, wb):
+        w, b = wb
+        with torch.no_grad():
+            mod.weight.copy_(torch.from_numpy(w.T))
+            mod.bias.copy_(torch.from_numpy(b))
+
+    load_lin(field.net[0], shared_w['func'][0])
+    load_lin(field.net[2], shared_w['func'][1])
+    load_lin(field.net[4], shared_w['func'][2])
+    load_lin(rnn.i2h, shared_w['i2h'])
+    load_lin(rnn.h2o, shared_w['h2o'])
+    load_lin(dec[0], shared_w['dec'][0])
+    load_lin(dec[2], shared_w['dec'][1])
+
     params = (list(field.parameters()) + list(rnn.parameters())
               + list(dec.parameters()))
     optimizer = torch.optim.Adam(params, lr=0.01)
@@ -189,14 +233,14 @@ def latent_ode_ref(trajs_np, ts_np, niters, seed=0):
     noise_std = 0.3
 
     losses, times = [], []
-    for _ in range(niters):
+    for it in range(niters):
         t0 = time.perf_counter()
         optimizer.zero_grad()
         h = torch.zeros(trajs.shape[0], RNNHID)
         for i in reversed(range(trajs.shape[1])):
             out, h = rnn(trajs[:, i], h)
         mean, logvar = out[:, :LATENT], out[:, LATENT:]
-        z0 = mean + torch.randn_like(mean) * torch.exp(0.5 * logvar)
+        z0 = mean + torch.from_numpy(eps_seq[it]) * torch.exp(0.5 * logvar)
         zs = t_odeint(field, z0, ts, rtol=RTOL, atol=ATOL).permute(1, 0, 2)
         pred = dec(zs)
         logpx = -0.5 * torch.sum(((pred - trajs) / noise_std) ** 2
@@ -339,13 +383,16 @@ def main():
     n_ev = 5 if a.quick else 30
 
     trajs, ts = make_spirals(nspiral, nsample)
+    shared_w = make_shared_latent_weights()
+    eps_seq = make_shared_eps(n_lat, nspiral)
     rows = []
     print(f'latent ODE: {nspiral} spirals x {nsample} samples, '
-          f'{n_lat} iters, rtol={RTOL} atol={ATOL}')
+          f'{n_lat} iters, rtol={RTOL} atol={ATOL} '
+          f'(shared init weights + shared z0 noise)')
     rows.append(('latent ODE', 'torchdiffeq_tpu',
-                 latent_ode_ours(trajs, ts, n_lat)))
+                 latent_ode_ours(trajs, ts, n_lat, shared_w, eps_seq)))
     rows.append(('latent ODE', 'reference (torch)',
-                 latent_ode_ref(trajs, ts, n_lat)))
+                 latent_ode_ref(trajs, ts, n_lat, shared_w, eps_seq)))
     print(f'event training: 2 chained bounces, {n_ev} iters, '
           f'tol={EV_TOL}, Adam lr={EV_LR}, f64')
     rows.append(('event training', 'torchdiffeq_tpu', event_train_ours(n_ev)))
@@ -380,7 +427,12 @@ def main():
             "Generated by `python benchmarks/baselines.py` -- see the module\n"
             "docstring for the matched-config protocol. Both frameworks run\n"
             "their own idiomatic implementation on the SAME data at the SAME\n"
-            "sizes, tolerances, optimizer, and iteration count, on CPU.\n"
+            "sizes, tolerances, optimizer, and iteration count, on CPU --\n"
+            "and, for the latent ODE, from IDENTICAL initial weights and\n"
+            "identical per-iteration z0 reparameterisation noise (one numpy\n"
+            "RNG feeds both frameworks), so the per-iteration loss columns\n"
+            "are directly comparable optimization trajectories, not merely\n"
+            "matched configs.\n"
             "JAX iter-1 includes jit compilation (one-time); ms/iter is the\n"
             "median of the remaining iters.\n\n"
             f"Config: latent ODE = {nspiral} spirals x {nsample} samples, "

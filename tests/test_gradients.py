@@ -97,6 +97,7 @@ def _frozen_replay_loss(f, y0, t_points, method, project):
     return loss
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('method', GRAD_METHODS)
 def test_gradcheck_y0(method):
     """d(sum y(T))/dy0 matches central finite differences, at a uniform
@@ -134,6 +135,7 @@ def test_gradcheck_y0(method):
                                err_msg=f"method={method}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('method', GRAD_METHODS)
 def test_gradcheck_t(method):
     """Gradient wrt the output times matches finite differences, for every

@@ -138,8 +138,9 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
     # RELATIVE rounding noise per evaluation, which enters the backward
     # error estimate as `dt * ||c_err|| * u * ||f_aug||`; tolerances below
     # that floor buy accepted-step count, not gradient accuracy (measured
-    # on the bf16 training benchmark: 29 -> 14 backward steps with the
-    # gradient unchanged — benchmarks/PERF.md budget section).
+    # on the bf16 training benchmark: fewer backward steps with the
+    # gradient unchanged — benchmarks/PERF.md budget section has the
+    # current numbers).
     # `adjoint_options=dict(noise_floor=True)` floors the adjoint rtol at
     # the state dtype's rounding unit AND scales the adjoint atol by the
     # same factor (preserving the user's atol/rtol ratio): the augmented
