@@ -439,25 +439,41 @@ def sec_budget(ctx):
 
         sc = slope_time(single_sc, n1=2, n2=8) / 40.0
 
-        # isolated augmented-VJP chain per backward step (6 aug evals)
+        # isolated augmented stage chain per backward step: the REAL
+        # runge_kutta_step on the aug 4-tuple (round 4 used a bare
+        # 6-eval VJP chain here, which omits the RK stage-combination
+        # arithmetic and the hidden-activation materialisation the real
+        # step pays — that gap was then mis-attributed to the driver;
+        # dev/budget_probe9.py quantifies the difference).
         adj0 = jax.random.normal(jax.random.PRNGKey(3), (B, 256),
                                  jnp.float32) * 0.1
         th0 = tmapu(jnp.zeros_like, p3)
 
-        def single_ac(eps):
-            def bd(carry, i):
-                yy, adj, th = carry
-                s = i.astype(jnp.float32) * 1e-4
-                ff, vjp_fn = jax.vjp(lambda ss, ya, p: f3(ss, ya, p),
-                                     s, yy + eps, p3)
-                _, vy, vth = vjp_fn(-adj)
-                return (yy + 1e-6 * ff, adj + 1e-6 * vy,
-                        tmapu(lambda a, b: a + 1e-6 * b, th, vth)), ()
-            (yy, _, _), _ = jax.lax.scan(bd, (y0, adj0, th0),
-                                         jnp.arange(40 * 6))
-            return jnp.sum(yy.astype(jnp.float32))
+        def f_aug_probe(s, aug, perturb=None):
+            vt, yy, adj_y, th_bar = aug
+            ff, vjp_fn = jax.vjp(lambda ss, ya, p: f3(ss, ya, p), s, yy, p3)
+            vt_new, vy, vth = vjp_fn(tmapu(jnp.negative, adj_y))
+            return (vt_new.astype(vt.dtype), ff, vy, vth)
 
-        ac = slope_time(single_ac, n1=2, n2=8) / 40.0
+        aug_st0 = (jnp.float32(0.), y0, adj0, th0)
+        f_aug0 = f_aug_probe(jnp.float32(1.), aug_st0)
+
+        def single_ac(eps):
+            dtk2 = jnp.float32(-1e-4)
+
+            def bd(carry, i):
+                yy, ff = carry
+                t0k = 1.0 + i.astype(jnp.float32) * dtk2
+                yn, fn, _, _ = _rk_step(f_aug_probe, yy, ff, t0k, dtk2,
+                                        t0k + dtk2, _tb.DOPRI5,
+                                        error_dtype=jnp.float32)
+                return (yn, fn), ()
+            st0 = (jnp.float32(0.), y0 + eps, adj0, th0)
+            (yy, _), _ = jax.lax.scan(bd, (st0, f_aug0), jnp.arange(20))
+            return sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree_util.tree_leaves(yy))
+
+        ac = slope_time(single_ac, n1=2, n2=8) / 20.0
 
         def single_f10(eps):
             ys = tde.odeint(f3, y0 + eps, t, rtol=rtol_b, atol=atol_b,
@@ -498,17 +514,27 @@ def sec_budget(ctx):
     rows = [("fwd stage-chain kernel bound (%d steps x %.3f ms)"
              % (n_fwd, sc * 1e3), kern_f),
             ("fwd driver (controller + interp fit + emission)", drv_f),
-            ("bwd aug-VJP kernel bound (%.1f steps x %.3f ms)"
+            ("bwd aug stage-chain kernel bound (%.1f steps x %.3f ms)"
              % (n_bwd, ac * 1e3), kern_b),
             ("bwd driver (controller + interface injection)", drv_b)]
     lines = ["## Training-step device-time budget (bf16 row above)", "",
              "Measured decomposition of the bf16/default training step "
              "(B=4096, T=10):", "kernel bounds are isolated slope-timed "
-             "chains (`dev/budget_probe.py`),", "driver terms are the "
-             "remainders; backward step count is the ON-TPU count",
-             "(`dev/budget_probe3.py`).  Rows sum to "
+             "chains of the REAL `runge_kutta_step`", "on the forward "
+             "state and on the augmented 4-tuple (`dev/budget_probe9.py`);",
+             "driver terms are the remainders; backward step count is the "
+             "ON-TPU count", "(`dev/budget_probe3.py`).  Rows sum to "
              "the measured step by construction;", "the split locates "
-             "the time.", "",
+             "the time.  (Round 4's budget used a bare VJP-eval chain",
+             "as the backward bound, omitting the RK stage arithmetic and "
+             "hidden-activation", "traffic of the real step — which "
+             "mis-attributed ~65% of the step to the", "'driver'.  The "
+             "augmented stage chain is BANDWIDTH-bound: each aug eval",
+             "materialises (B, 1024) hidden activations and their "
+             "cotangents, ~4x the", "state, so its per-step bound is ~3x "
+             "the forward's despite 3x the matmul", "FLOPs — probe 9 also "
+             "shows a raveled carry is 2.3x WORSE, so the tree", "carry "
+             "stands.)", "",
              "| component | ms | % of step |", "|---|---|---|"]
     for name, v in rows:
         lines.append(f"| {name} | {v*1e3:.2f} | {v/tr*100:.1f}% |")

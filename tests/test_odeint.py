@@ -252,6 +252,29 @@ def test_error_code_on_blowup():
     assert bool(jnp.isnan(ys[-1, 0]))
 
 
+def test_blowup_poisons_exactly_the_unreached_tail():
+    """A mid-trajectory guard trip must NaN-poison EVERY output row past
+    the integrated span and leave every reached row finite.  Regression
+    for the guard-trip emission bug: the frozen carry kept the last
+    accepted step's window, whose re-emission advanced i_out past the
+    truly-written rows and left unreached rows as silent zeros."""
+    fb = lambda t, y: y ** 3  # y0=1: blow-up at t=0.5
+    ys, stats = tde.odeint_with_stats(fb, jnp.array([1.0]),
+                                      jnp.linspace(0., 1., 6),
+                                      rtol=1e-6, atol=1e-8,
+                                      options=dict(max_num_steps=20))
+    assert int(stats.error_code) == 3
+    vals = np.asarray(ys[:, 0])
+    nan_mask = np.isnan(vals)
+    # rows strictly before t=0.5 (indices 0, 1, 2 at t=0, .2, .4) are
+    # reachable and must be finite; everything at/after the singularity
+    # must be poisoned — and poisoning must be a contiguous tail.
+    assert not nan_mask[:3].any(), vals
+    assert nan_mask[3:].all(), vals
+    exact = 1.0 / np.sqrt(1.0 - 2.0 * np.linspace(0., 1., 6)[:3])
+    np.testing.assert_allclose(vals[:3], exact, rtol=1e-4)
+
+
 def test_odeint_under_jit_traced_t():
     f = lambda t, y: -y
     y0 = jnp.array([1.0])
