@@ -160,6 +160,10 @@ PARITY_SPECS = [
     ('bosh3', 'auto', None),
     ('fehlberg2', 'auto', None),
     ('adaptive_heun', 'auto', None),
+    ('euler', dict(step_size=0.1), dict(step_size=0.1)),
+    ('midpoint', dict(step_size=0.1), dict(step_size=0.1)),
+    ('heun2', dict(step_size=0.1), dict(step_size=0.1)),
+    ('heun3', dict(step_size=0.1), dict(step_size=0.1)),
     ('rk4', dict(step_size=0.1), dict(step_size=0.1)),
     ('explicit_adams', dict(step_size=0.05, max_order=6),
      dict(step_size=0.05, max_order=6)),
