@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from torchdiffeq_tpu.models.conv_ode import (init_conv_field, conv_field,
-                                             conv_field_flops, group_norm)
+                                             conv_field_flops, group_norm,
+                                             init_conv, conv_apply,
+                                             conv_apply_packed,
+                                             conv_field_packed, concat_time)
 
 torch = pytest.importorskip("torch")
 
@@ -127,3 +130,61 @@ def test_group_norm_f32_stats_for_bf16():
 def test_conv_field_flops_counts_both_convs():
     # 2 convs, each 2*B*H*W*9*(dim+1)*dim
     assert conv_field_flops(4, 6, 6, 64) == 2 * (2 * 4 * 6 * 6 * 9 * 65 * 64)
+
+
+@pytest.mark.parametrize("hw,dim", [((6, 6), 16), ((4, 8), 8), ((3, 4), 8)])
+def test_conv_apply_packed_matches_baseline(hw, dim):
+    """Width-packing is a bit-level reshuffle of the same multiply-adds:
+    values and parameter gradients must match the plain 3x3 SAME conv."""
+    h, w = hw
+    p = init_conv(jax.random.PRNGKey(0), dim + 1, dim)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, dim + 1),
+                          jnp.float32)
+    yb = conv_apply(p, x)
+    yp = conv_apply_packed(p, x)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yb),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(fn, w_):
+        return jnp.sum(fn(dict(w=w_, b=p['b']), x) ** 2)
+
+    gb = jax.grad(lambda w_: loss(conv_apply, w_))(p['w'])
+    gp = jax.grad(lambda w_: loss(conv_apply_packed, w_))(p['w'])
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gb),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_conv_apply_packed_odd_width_falls_back():
+    p = init_conv(jax.random.PRNGKey(0), 9, 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5, 9), jnp.float32)
+    np.testing.assert_allclose(np.asarray(conv_apply_packed(p, x)),
+                               np.asarray(conv_apply(p, x)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_conv_field_packed_matches_conv_field():
+    """The packed field integrates to the same solution with the same NFE:
+    the solver sees bit-comparable field values, so the controller's step
+    sequence is preserved (same-trajectory guarantee for the fast path)."""
+    import torchdiffeq_tpu as tde
+
+    dim, hw = 16, 6
+    params = init_conv_field(jax.random.PRNGKey(0), dim)
+    x0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (2, hw, hw, dim),
+                                 jnp.float32)
+    t_pt = jnp.float32(0.37)
+    fb = conv_field(params, t_pt, x0)
+    fp = conv_field_packed(params, t_pt, x0)
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(fb),
+                               rtol=3e-5, atol=3e-5)
+
+    t = jnp.array([0.0, 1.0], jnp.float32)
+    yb, sb = tde.odeint_with_stats(lambda tt, yy, p: conv_field(p, tt, yy),
+                                   x0, t, rtol=1e-5, atol=1e-6,
+                                   args=(params,))
+    yp, sp = tde.odeint_with_stats(
+        lambda tt, yy, p: conv_field_packed(p, tt, yy),
+        x0, t, rtol=1e-5, atol=1e-6, args=(params,))
+    np.testing.assert_allclose(np.asarray(yp[1]), np.asarray(yb[1]),
+                               rtol=1e-4, atol=1e-4)
+    assert abs(int(sp.nfe) - int(sb.nfe)) <= 6

@@ -89,6 +89,52 @@ def conv_field(params, t, x):
     return group_norm(h)
 
 
+def _pack_kernel_w2(w):
+    """(kh,3,Cin,C) -> (kh,4,Cin,2C): lanes 0..C-1 = the 3-wide conv at
+    even output columns (kernel cols 0..2), lanes C..2C-1 = the same conv
+    at odd columns (kernel cols 1..3)."""
+    left = jnp.pad(w, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    right = jnp.pad(w, ((0, 0), (1, 0), (0, 0), (0, 0)))
+    return jnp.concatenate([left, right], axis=-1)
+
+
+def conv_apply_packed(p, x):
+    """Width-packed 3x3 SAME conv: two adjacent output columns per MXU
+    pass.  At C=64 output channels a 3x3 conv's implicit GEMM fills only
+    64 of the MXU's 128 output lanes; packing the even/odd column pairs
+    into one stride-(1,2) kernel-(3,4) conv with 2C output channels doubles
+    lane occupancy for 4/3 the FLOPs (ideal 1.5x when lane-ceiling-bound —
+    measured speedups in benchmarks/PERF.md's conv section).  Bit-exact
+    reshuffle of the same multiply-adds; requires even spatial width.
+    Gradients flow through the jnp.pad/concat kernel packing, so parameter
+    cotangents match the unpacked conv."""
+    n, h, w, _ = x.shape
+    if w % 2:
+        return conv_apply(p, x)
+    c = p['w'].shape[-1]
+    wp = _pack_kernel_w2(p['w'].astype(x.dtype))
+    y = jax.lax.conv_general_dilated(
+        x, wp, (1, 2), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    # (n, h, w/2, 2C): first C lanes are column 2j, next C are 2j+1 —
+    # a (w/2, 2) -> w reshape restores column order.
+    y = y.reshape(n, h, w // 2, 2, c).reshape(n, h, w, c)
+    return y + p['b'].astype(y.dtype)
+
+
+def conv_field_packed(params, t, x):
+    """`conv_field` with width-packed convs (same parameters, same math —
+    see `conv_apply_packed`).  Use when dim <= 64 and the spatial width is
+    even; at dim=128 the plain conv already fills the MXU lanes."""
+    h = group_norm(x)
+    h = jax.nn.relu(h)
+    h = conv_apply_packed(params['conv1'], concat_time(t, h))
+    h = group_norm(h)
+    h = jax.nn.relu(h)
+    h = conv_apply_packed(params['conv2'], concat_time(t, h))
+    return group_norm(h)
+
+
 def conv_field_flops(batch, height, width, dim):
     """Matmul FLOPs of ONE conv_field evaluation (the two 3x3 convs; GN and
     relu are bandwidth, not MXU FLOPs): 2 * B*H*W * 9*(dim+1) * dim each."""
