@@ -49,7 +49,7 @@ import torchdiffeq_tpu as tde
 from torchdiffeq_tpu.adjoint import odeint_adjoint
 from torchdiffeq_tpu.models import init_mlp, mlp_apply
 from torchdiffeq_tpu.models import (init_conv_field, conv_field,
-                                    conv_field_flops)
+                                    conv_field_packed, conv_field_flops)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _FRAG_DIR = os.path.join(_HERE, "perf_sections")
@@ -582,22 +582,33 @@ def sec_conv(ctx):
              "| mode | batch | dim | matmul prec | wall (ms) | NFE "
              "| TFLOP/s | MFU |", "|---|---|---|---|---|---|---|---|"]
     t2c = ctx.t2
-    cf = lambda tt, yy, p: conv_field(p, tt, yy)
+    cf_plain = lambda tt, yy, p: conv_field(p, tt, yy)
+    cf_packed = lambda tt, yy, p: conv_field_packed(p, tt, yy)
     ctgt_cache = {}
     for mode, B, dim, prec in [
             ('fwd', 128, 64, 'float32'),      # the reference's exact config
             ('fwd', 1024, 64, 'float32'),
             ('fwd', 1024, 64, 'bfloat16'),
+            ('fwd+pack', 1024, 64, 'bfloat16'),
             ('fwd', 1024, 128, 'bfloat16'),
             ('train', 128, 64, 'float32'),
             ('train', 128, 64, 'bfloat16'),
+            ('train+pack', 128, 64, 'bfloat16'),
             ('train', 1024, 64, 'bfloat16'),
+            ('train+pack', 1024, 64, 'bfloat16'),
             ('train', 1024, 128, 'bfloat16')]:
+        # '+pack' rows width-pack the convs (models.conv_apply_packed): two
+        # output columns per MXU pass, doubling lane occupancy at dim=64.
+        # Same math, same NFE; MFU convention still counts the UNPACKED
+        # conv flops so the column stays comparable (the packed kernel's
+        # 4/3 flop overhead is charged against it).
+        cf = cf_packed if mode.endswith('+pack') else cf_plain
+        mode_base = mode.split('+')[0]
         cp = init_conv_field(jax.random.PRNGKey(0), dim)
         y0c = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (B, 6, 6, dim),
                                       jnp.float32)
         with jax.default_matmul_precision(prec):
-            if mode == 'fwd':
+            if mode_base == 'fwd':
                 def single(eps):
                     ys = tde.odeint(cf, y0c + eps, t2c, rtol=1e-3, atol=1e-3,
                                     args=(cp,))
