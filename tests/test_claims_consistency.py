@@ -46,7 +46,10 @@ def test_parity_count_matches_cited_snapshot(readme):
         if hdr:
             method = hdr.group(1)
             continue
-        row = re.match(r'\S+: NFE ours (\d+) vs ref (\d+)', line)
+        # r4 format: "A1: NFE ours 224 vs ref 224"; r5 adds the executed-
+        # eval count: "A1: NFE ours 224 (exec 224) vs ref 224"
+        row = re.match(r'\S+: NFE ours (\d+)(?: \(exec \d+\))? vs ref (\d+)',
+                       line)
         if row and method in ADAPTIVE6:
             total += 1
             if row.group(1) == row.group(2):
