@@ -32,7 +32,8 @@ from torchdiffeq_tpu.adjoint import odeint_adjoint
 from torchdiffeq_tpu.models import (init_conv_field, conv_field,
                                     conv_field_flops)
 from torchdiffeq_tpu.models.conv_ode import (conv_apply, group_norm,
-                                             concat_time)
+                                             concat_time, conv_apply_packed,
+                                             conv_field_packed)
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 DIM = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -76,35 +77,6 @@ def report(tag, dt, flops=None):
         tfs = flops / dt / 1e12
         extra = f" | {tfs:7.2f} TF/s  {tfs*1e12/PEAK*100:5.1f}% MFU"
     print(f"{tag:40s} {dt*1e6:9.1f} us{extra}", flush=True)
-
-
-def pack_kernel(w):
-    """(3,3,Cin,C) -> (3,4,Cin,2C): first C lanes = conv at even cols
-    (kernel cols 0..2), next C = conv at odd cols (kernel cols 1..3)."""
-    left = jnp.pad(w, ((0, 0), (0, 1), (0, 0), (0, 0)))
-    right = jnp.pad(w, ((0, 0), (1, 0), (0, 0), (0, 0)))
-    return jnp.concatenate([left, right], axis=-1)
-
-
-def conv_apply_packed(p, x):
-    n, h, w, _ = x.shape
-    c = p['w'].shape[-1]
-    wp = pack_kernel(p['w'].astype(x.dtype))
-    y = jax.lax.conv_general_dilated(
-        x, wp, (1, 2), ((1, 1), (1, 1)),
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-    y = y.reshape(n, h, w // 2, 2, c).reshape(n, h, w, c)
-    return y + p['b'].astype(y.dtype)
-
-
-def conv_field_packed(params, t, x):
-    h = group_norm(x)
-    h = jax.nn.relu(h)
-    h = conv_apply_packed(params['conv1'], concat_time(t, h))
-    h = group_norm(h)
-    h = jax.nn.relu(h)
-    h = conv_apply_packed(params['conv2'], concat_time(t, h))
-    return group_norm(h)
 
 
 def main():
