@@ -17,3 +17,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# XLA:CPU's LLVM JIT segfaults once a single process accumulates enough
+# compiled executables (observed at ~350-390 tests into the suite, always
+# inside backend_compile_and_load, at three unrelated tests).  Dropping
+# references to stale executables periodically keeps total live JIT code
+# bounded; the recompiles this forces cost far less than a dead process.
+_CLEAR_EVERY = 40
+_test_counter = {"n": 0}
+
+
+def pytest_runtest_teardown(item, nextitem):
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
