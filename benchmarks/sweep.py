@@ -34,6 +34,19 @@ import statistics
 import sys
 import time
 
+# The chained-iteration programs close over their data (y0, params,
+# targets), which jit embeds as HLO constants.  XLA's constant-folding
+# pass evaluates foldable subgraphs with the interpretive HloEvaluator;
+# on the conv workload the adjoint's reduce-windows over constant
+# cotangents fold at ~0.1 Mops/s and a single train-row compile hangs for
+# hours (observed live: one fold >70 min, round 4's two >95-min budget
+# blowouts).  Folded work is loop-invariant — outside the measured scan
+# body — so disabling the pass does not change any slope-timed number; it
+# only moves one-time constant computation from compile time to the
+# per-call intercept, which the two-length slope cancels.
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_disable_hlo_passes=constant_folding")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
