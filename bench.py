@@ -272,10 +272,31 @@ def bench_jax_conv(shared):
             return losses[-1], p
         return train_many
 
-    train_short = make_train_many(CONV_N_SHORT)
-    train_long = make_train_many(CONV_N_LONG)
-    float(train_short(params)[0])
-    float(train_long(params)[0])
+    def time_steps(prec):
+        # Compile + time under an explicit matmul precision (the context
+        # must wrap tracing, not just execution).
+        with jax.default_matmul_precision(prec):
+            train_short = make_train_many(CONV_N_SHORT)
+            train_long = make_train_many(CONV_N_LONG)
+            float(train_short(params)[0])
+            float(train_long(params)[0])
+            slopes, longs = [], []
+            p = params
+            for _ in range(N_GROUPS):
+                t0 = time.perf_counter()
+                loss, p = train_short(p)
+                float(loss)
+                t_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                loss, p = train_long(p)
+                float(loss)
+                t_l = time.perf_counter() - t0
+                longs.append(t_l)
+                slopes.append((t_l - t_s) / (CONV_N_LONG - CONV_N_SHORT))
+            dt = statistics.median(slopes)
+            if dt <= 0:
+                dt = min(longs) / CONV_N_LONG
+            return dt, float(loss)
 
     # exact fwd+bwd VF-eval count on the host CPU backend
     count = [0]
@@ -306,22 +327,8 @@ def bench_jax_conv(shared):
     jax.effects_barrier()
     nfe_step = count[0]
 
-    slopes, longs = [], []
-    p = params
-    for _ in range(N_GROUPS):
-        t0 = time.perf_counter()
-        loss, p = train_short(p)
-        float(loss)
-        t_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        loss, p = train_long(p)
-        float(loss)
-        t_l = time.perf_counter() - t0
-        longs.append(t_l)
-        slopes.append((t_l - t_s) / (CONV_N_LONG - CONV_N_SHORT))
-    dt = statistics.median(slopes)
-    if dt <= 0:
-        dt = min(longs) / CONV_N_LONG
+    dt, loss = time_steps('float32')
+    dt_bf16, _ = time_steps('bfloat16')
 
     flops = nfe_step * conv_field_flops(CONV_BATCH, 6, 6, CONV_DIM) * 2
     return dict(step_seconds=dt, nfe=nfe_step, nfe_forward=nfe_fwd,
@@ -329,7 +336,10 @@ def bench_jax_conv(shared):
                 evals_per_sec=nfe_step * CONV_BATCH / dt,
                 tflops_per_sec=round(flops / dt / 1e12, 3),
                 mfu_bf16_peak=round(flops / dt / 197e12, 4),
-                loss=float(loss), backend=jax.default_backend())
+                step_seconds_bf16=dt_bf16,
+                tflops_per_sec_bf16=round(flops / dt_bf16 / 1e12, 3),
+                mfu_bf16=round(flops / dt_bf16 / 197e12, 4),
+                loss=loss, backend=jax.default_backend())
 
 
 def bench_torch_conv(shared):
