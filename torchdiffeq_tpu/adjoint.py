@@ -278,7 +278,8 @@ def adjoint_solve(func, y0, t, *, rtol, atol, method, options, event_fn, args,
             ev = lambda tt, yy: ev_conv(tt, yy, *theta_[2])
         return check_inputs(pure_func, y0_, t_, rtol, atol, method, options,
                             ev, SOLVERS, args=(theta_,),
-                            ravel_state=not tree_state_capable(method))
+                            ravel_state=not tree_state_capable(
+                                method, event=ev is not None))
 
     def _sign_conjugated_field(sign_t):
         """The vector field in the internal increasing time frame:

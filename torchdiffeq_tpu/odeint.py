@@ -249,9 +249,10 @@ def _odeint_impl(func, y0, t, rtol, atol, method, options, event_fn, args,
                                       or 'block_b' in options):
         options = {k: v for k, v in options.items()
                    if k not in ('pallas', 'interpret', 'block_b')}
-    # Native-shape tree state for the explicit adaptive tier (replay mode
-    # keeps the raveled representation — its recording buffers are flat).
-    tree_ok = (tree_state_capable(method)
+    # Native-shape tree state for the explicit adaptive and fixed-grid
+    # tiers (replay mode keeps the raveled representation — its recording
+    # buffers are flat; fixed-grid event bisection likewise).
+    tree_ok = (tree_state_capable(method, event=event_fn is not None)
                and not (isinstance(options, dict)
                         and options.get('replay_grad')))
     prob = check_inputs(func, y0, t, rtol, atol, method, options, event_fn,

@@ -133,35 +133,48 @@ def rk4_step_func(func, t0, dt, t1, y0, f0=None, perturb=False):
 
 def rk4_alt_step_func(func, t0, dt, t1, y0, f0=None, perturb=False):
     """RK4 3/8-rule: smaller error, slightly more compute (reference
-    rk_common.py:110-118)."""
+    rk_common.py:110-118).  Tree-polymorphic: `y0` may be any pytree of
+    arrays — each leaf sees exactly the arithmetic the reference applies
+    to its flat tensor (a bare ndarray state is bitwise-unchanged)."""
     k1 = f0
     if k1 is None:
         k1 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
-    k2 = func(t0 + dt * _ONE_THIRD, y0 + dt * k1 * _ONE_THIRD)
-    k3 = func(t0 + dt * _TWO_THIRDS, y0 + dt * (k2 - k1 * _ONE_THIRD))
-    k4 = func(t1, y0 + dt * (k1 - k2 + k3),
+    k2 = func(t0 + dt * _ONE_THIRD,
+              tmap(lambda y, a: y + dt * a * _ONE_THIRD, y0, k1))
+    k3 = func(t0 + dt * _TWO_THIRDS,
+              tmap(lambda y, a, b: y + dt * (b - a * _ONE_THIRD), y0, k1, k2))
+    k4 = func(t1,
+              tmap(lambda y, a, b, c: y + dt * (a - b + c), y0, k1, k2, k3),
               perturb=Perturb.PREV if perturb else Perturb.NONE)
-    return (k1 + 3 * (k2 + k3) + k4) * dt * 0.125
+    return tmap(lambda a, b, c, d: (a + 3 * (b + c) + d) * dt * 0.125,
+                k1, k2, k3, k4)
 
 
 def rk3_step_func(func, t0, dt, t1, y0, butcher_tableu, f0=None, perturb=False):
     """Generic 3-stage RK step from a [[0,...],[c2,a21,...],...] table
-    (reference rk_common.py:121-139)."""
+    (reference rk_common.py:121-139).  Tree-polymorphic like
+    `rk4_alt_step_func`."""
+    bt = butcher_tableu
     k1 = f0
     if k1 is None:
         k1 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
-    k2 = func(t0 + dt * butcher_tableu[1][0], y0 + dt * k1 * butcher_tableu[1][1])
-    k3 = func(t0 + dt * butcher_tableu[2][0],
-              y0 + dt * (k1 * butcher_tableu[2][1] + k2 * butcher_tableu[2][2]))
-    return dt * (k1 * butcher_tableu[3][1] + k2 * butcher_tableu[3][2]
-                 + k3 * butcher_tableu[3][3])
+    k2 = func(t0 + dt * bt[1][0],
+              tmap(lambda y, a: y + dt * a * bt[1][1], y0, k1))
+    k3 = func(t0 + dt * bt[2][0],
+              tmap(lambda y, a, b: y + dt * (a * bt[2][1] + b * bt[2][2]),
+                   y0, k1, k2))
+    return tmap(lambda a, b, c: dt * (a * bt[3][1] + b * bt[3][2]
+                                      + c * bt[3][3]), k1, k2, k3)
 
 
 def rk2_step_func(func, t0, dt, t1, y0, butcher_tableu, f0=None, perturb=False):
-    """Generic 2-stage RK step (reference rk_common.py:142-158)."""
+    """Generic 2-stage RK step (reference rk_common.py:142-158).
+    Tree-polymorphic like `rk4_alt_step_func`."""
+    bt = butcher_tableu
     k1 = f0
     if k1 is None:
         k1 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
-    k2 = func(t0 + dt * butcher_tableu[1][0], y0 + dt * k1 * butcher_tableu[1][1],
+    k2 = func(t0 + dt * bt[1][0],
+              tmap(lambda y, a: y + dt * a * bt[1][1], y0, k1),
               perturb=Perturb.PREV if perturb else Perturb.NONE)
-    return dt * (k1 * butcher_tableu[2][1] + k2 * butcher_tableu[2][2])
+    return tmap(lambda a, b: dt * (a * bt[2][1] + b * bt[2][2]), k1, k2)

@@ -64,12 +64,17 @@ SOLVERS = {
 DIRECT_DIFF_KINDS = frozenset({'fixed', 'adams', 'firk', 'dirk'})
 
 
-def tree_state_capable(method):
+def tree_state_capable(method, event=False):
     """Whether `method`'s driver can keep the state as a native-shape
     pytree (no ravel; see ops/treemath.py).  True for the explicit
-    adaptive tier; implicit stage solves (ESDIRK/FIRK/DIRK) and the
-    scan/replay/dense/Pallas paths do linear algebra or buffer writes on a
+    adaptive tier and — except in event mode, whose bisection driver
+    works on a flat vector — the explicit fixed-grid tier.  Implicit
+    stage solves (ESDIRK/FIRK/DIRK), Adams ring buffers, and the
+    replay/dense/Pallas paths do linear algebra or buffer writes on a
     flat vector and keep the raveled representation."""
     spec = SOLVERS.get(method if method is not None else 'dopri5')
-    return (spec is not None and spec['kind'] == 'adaptive'
-            and not spec['tableau'].implicit)
+    if spec is None:
+        return False
+    if spec['kind'] == 'adaptive' and not spec['tableau'].implicit:
+        return True
+    return spec['kind'] == 'fixed' and not event

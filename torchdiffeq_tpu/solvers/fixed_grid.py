@@ -11,6 +11,17 @@ Step functions mirror torchdiffeq/_impl/fixed_grid.py (euler, midpoint,
 rk4 = 3/8-rule, heun2, heun3).  Steppers carry explicit solver state
 (a pytree; empty for single-step methods, the f-history ring buffer for
 Adams) so that multistep methods ride the same scan/while drivers.
+
+The driver and the five explicit step functions are tree-polymorphic:
+state may be any pytree of arrays with native leaf shapes (a bare ndarray
+behaves exactly as before, so the raveled Adams/implicit tiers are
+unchanged).  The explicit tier therefore runs tuple/dict states without
+the ravel round-trip the reference's `_flat_to_shape` design forces
+(misc.py:126-155) — on TPU that keeps each leaf's layout and sharding
+intact through the scan (see ops/treemath.py; measured 2.5x on a
+4-leaf adjoint-sized state, dev/budget_probe10.py).  The event driver
+(`integrate_until_event_fixed_grid`) still requires a flat state and is
+gated raveled in `tree_state_capable`.
 """
 from __future__ import annotations
 
@@ -23,6 +34,7 @@ import numpy as np
 from ..misc import Perturb
 from ..ops.interp import linear_interp, cubic_hermite_interp
 from ..ops import rk_step
+from ..ops.treemath import tmap
 from .solution import Stats, OK, ERR_MAX_NUM_STEPS
 
 
@@ -55,14 +67,14 @@ def _stateless(fn):
 
 def _euler_step(func, t0, dt, t1, y0, perturb):
     f0 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
-    return dt * f0, f0
+    return tmap(lambda f: dt * f, f0), f0
 
 
 def _midpoint_step(func, t0, dt, t1, y0, perturb):
     half_dt = 0.5 * dt
     f0 = func(t0, y0, perturb=Perturb.NEXT if perturb else Perturb.NONE)
-    y_mid = y0 + f0 * half_dt
-    return dt * func(t0 + half_dt, y_mid), f0
+    y_mid = tmap(lambda y, f: y + f * half_dt, y0, f0)
+    return tmap(lambda f: dt * f, func(t0 + half_dt, y_mid)), f0
 
 
 def _rk4_step(func, t0, dt, t1, y0, perturb):
@@ -170,29 +182,39 @@ def integrate_fixed_grid(method: FixedStepMethod, func, y0, ts, grid, *,
         dy, f0, st = method.step(func, t0, dt, t1, y0_, perturb, st)
         # f64 grid times must not promote an f32/complex state increment
         # (reference casts with `.type_as(y0)`).
-        y1 = y0_ + dy.astype(y0_.dtype)
+        y1 = tmap(lambda a, d: a + d.astype(a.dtype), y0_, dy)
         if cubic:
             # The reference evaluates f1 afresh for cubic output interpolation
             # (solvers.py:119); we evaluate it once per interval.
             f1 = func(t1, y1, perturb=Perturb.NONE)
-        else:
-            f1 = jnp.zeros_like(f0)
-        return (y1, st), (y1, f0, f1)
+            return (y1, st), (y1, f0, f1)
+        # Linear emission needs only the grid states: skip stacking the
+        # per-step slopes (for big states that is 2 full trajectory
+        # buffers of HBM writes the interpolation would never read).
+        return (y1, st), (y1,)
 
     pairs = jnp.stack([grid[:-1], grid[1:]], axis=1)
     body = jax.checkpoint(scan_body) if remat else scan_body
-    (_, state_last), (ys_tail, f0s, f1s) = jax.lax.scan(
-        body, (y0, state0), pairs)
-    ys_grid = jnp.concatenate([y0[None], ys_tail], axis=0)  # (G, n)
+    if cubic:
+        (_, state_last), (ys_tail, f0s, f1s) = jax.lax.scan(
+            body, (y0, state0), pairs)
+    else:
+        (_, state_last), (ys_tail,) = jax.lax.scan(
+            body, (y0, state0), pairs)
+    ys_grid = tmap(lambda y0l, tail: jnp.concatenate([y0l[None], tail],
+                                                     axis=0),
+                   y0, ys_tail)  # (G, ...) per leaf
 
     # Vectorised emission: t_j lives in grid interval [grid[i1-1], grid[i1]]
     # with grid[i1-1] < t_j <= grid[i1] (the reference emits at the first
     # interval whose right endpoint reaches t_j, solvers.py:117).
     i1 = jnp.clip(jnp.searchsorted(grid, ts, side='left'), 1, G - 1)
     t0s, t1s = grid[i1 - 1], grid[i1]
-    ya, yb = ys_grid[i1 - 1], ys_grid[i1]
+    ya = tmap(lambda a: a[i1 - 1], ys_grid)
+    yb = tmap(lambda a: a[i1], ys_grid)
     if cubic:
-        fa, fb = f0s[i1 - 1], f1s[i1 - 1]
+        fa = tmap(lambda a: a[i1 - 1], f0s)
+        fb = tmap(lambda a: a[i1 - 1], f1s)
         ys = jax.vmap(cubic_hermite_interp)(t0s, ya, fa, t1s, yb, fb, ts)
     else:
         ys = jax.vmap(linear_interp)(t0s, t1s, ya, yb, ts)
