@@ -19,7 +19,9 @@ from torchdiffeq_tpu.models.conv_ode import (init_conv_field, conv_field,
                                              conv_field_flops, group_norm,
                                              init_conv, conv_apply,
                                              conv_apply_packed,
-                                             conv_field_packed, concat_time)
+                                             conv_field_packed, concat_time,
+                                             conv_apply_foldt,
+                                             conv_field_foldt)
 
 torch = pytest.importorskip("torch")
 
@@ -160,6 +162,60 @@ def test_conv_apply_packed_odd_width_falls_back():
     np.testing.assert_allclose(np.asarray(conv_apply_packed(p, x)),
                                np.asarray(conv_apply(p, x)),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("hw,dim", [((6, 6), 16), ((5, 7), 8)])
+def test_conv_apply_foldt_matches_concat_conv(hw, dim):
+    """Folding the spatially-constant time channel out of the conv is the
+    same multiply-adds re-associated: values and gradients (params, state,
+    t) must match `conv_apply(p, concat_time(t, x))` to rounding — border
+    positions included (the tmap conv reproduces SAME-padding tap loss)."""
+    h, w = hw
+    p = init_conv(jax.random.PRNGKey(0), dim + 1, dim)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, dim), jnp.float32)
+    t_pt = jnp.float32(0.37)
+    yb = conv_apply(p, concat_time(t_pt, x))
+    yf = conv_apply_foldt(p, t_pt, x)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yb),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(fn, w_, tt, xx):
+        return jnp.sum(fn(dict(w=w_, b=p['b']), tt, xx) ** 2)
+
+    base = lambda pp, tt, xx: conv_apply(pp, concat_time(tt, xx))
+    gb = jax.grad(lambda w_, tt, xx: jnp.sum(
+        base(dict(w=w_, b=p['b']), tt, xx) ** 2),
+        argnums=(0, 1, 2))(p['w'], t_pt, x)
+    gf = jax.grad(loss, argnums=(1, 2, 3))(conv_apply_foldt, p['w'], t_pt, x)
+    for a, b in zip(gf, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_conv_field_foldt_matches_conv_field():
+    """The folded field integrates to the same solution with comparable
+    NFE (values match to rounding, so the controller's steps agree)."""
+    import torchdiffeq_tpu as tde
+
+    dim, hw = 16, 6
+    params = init_conv_field(jax.random.PRNGKey(0), dim)
+    x0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (2, hw, hw, dim),
+                                 jnp.float32)
+    t_pt = jnp.float32(0.37)
+    np.testing.assert_allclose(
+        np.asarray(conv_field_foldt(params, t_pt, x0)),
+        np.asarray(conv_field(params, t_pt, x0)), rtol=3e-5, atol=3e-5)
+
+    t = jnp.array([0.0, 1.0], jnp.float32)
+    yb, sb = tde.odeint_with_stats(lambda tt, yy, p: conv_field(p, tt, yy),
+                                   x0, t, rtol=1e-5, atol=1e-6,
+                                   args=(params,))
+    yf, sf = tde.odeint_with_stats(
+        lambda tt, yy, p: conv_field_foldt(p, tt, yy),
+        x0, t, rtol=1e-5, atol=1e-6, args=(params,))
+    np.testing.assert_allclose(np.asarray(yf[1]), np.asarray(yb[1]),
+                               rtol=1e-4, atol=1e-4)
+    assert abs(int(sf.nfe) - int(sb.nfe)) <= 6
 
 
 def test_conv_field_packed_matches_conv_field():

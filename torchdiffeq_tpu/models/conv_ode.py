@@ -23,6 +23,13 @@ TPU notes:
 * GroupNorm statistics are computed in f32 even for bf16 states (variance
   of a bf16 tensor loses ~half the mantissa to cancellation); the
   normalised output is cast back to the input dtype.
+* Two opt-in same-math variants exist for the dim<=64 lane/bandwidth
+  regime, both measured (benchmarks/PERF.md conv section;
+  dev/conv_foldt_probe.py): `conv_field_packed` (width-packing, two output
+  columns per MXU pass) and `conv_field_foldt` (folds the spatially-
+  constant time channel out of the conv, removing the (B,H,W,C+1) concat
+  materialisation — ~4-10% faster forward solves, neutral-to-slightly-
+  negative on the adjoint training step, so neither is the default).
 """
 from __future__ import annotations
 
@@ -132,6 +139,43 @@ def conv_field_packed(params, t, x):
     h = group_norm(h)
     h = jax.nn.relu(h)
     h = conv_apply_packed(params['conv2'], concat_time(t, h))
+    return group_norm(h)
+
+
+def conv_apply_foldt(p, t, x):
+    """Time-concat 3x3 SAME conv WITHOUT the concat (reference
+    ConcatConv2d, odenet_mnist.py:76-89, re-associated for bandwidth):
+    the time channel is spatially constant, so its contribution through
+    the conv is `t * tmap` where `tmap[i, j, co]` sums the time-channel
+    kernel taps that land inside the image at output position (i, j) —
+    computable once per eval as a conv of a ones-map with the (3,3,1,C)
+    time slice of the kernel (a few hundred FLOPs).  This removes the
+    (B, H, W, C+1) concat materialisation (one full write+read of the
+    state per conv, twice per field eval) that `concat_time` + `conv_apply`
+    pay.  Same multiply-adds re-associated (the t-taps accumulate outside
+    the GEMM), so results match `conv_apply(p, concat_time(t, x))` to
+    rounding; gradients wrt params, state, and t flow through both convs."""
+    w = p['w'].astype(x.dtype)
+    ts = jnp.asarray(t).real.astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w[:, :, :-1, :], (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    ones = jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype)
+    tmap = jax.lax.conv_general_dilated(
+        ones, w[:, :, -1:, :], (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y + ts * tmap + p['b'].astype(y.dtype)
+
+
+def conv_field_foldt(params, t, x):
+    """`conv_field` with the time channel folded out of both convs (same
+    parameters, same math — see `conv_apply_foldt`)."""
+    h = group_norm(x)
+    h = jax.nn.relu(h)
+    h = conv_apply_foldt(params['conv1'], t, h)
+    h = group_norm(h)
+    h = jax.nn.relu(h)
+    h = conv_apply_foldt(params['conv2'], t, h)
     return group_norm(h)
 
 
